@@ -1,0 +1,78 @@
+"""Aggregation / accounting — the batch processor's group-by semantics
+(SURVEY §2.4 A1/A2/A6/A7).
+
+The reference's batch processor accumulates per-shard counts, sharded by
+client-metadata keys with case-insensitive sorted key normalization and
+"empty ≠ unset" grouping (processor/batchprocessor/batch_processor.go:
+299-366, config.go:31-40). In batch Spark that is a windowed group-by;
+``send_batch_max_size`` file-splitting becomes ``maxRecordsPerFile``.
+
+Scale notes: partial aggregation (map-side combine) is automatic for
+hash aggregates; the group key (window, conv_id, tool) is high-cardinality
+and evenly spread except hot conversations — AQE skew handling plus the
+salting helper in partitioning.py covers those.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hourly_sink_accounting(df: DataFrame, with_route: bool = True) -> DataFrame:
+    """agg_<sink> tables (FIXTURES.md §5): 1-hour tumbling windows on ts,
+    per (sink, conv_id, tool): turn_count, distinct_roles, bytes_sum.
+
+    ``date_trunc`` rather than ``window()`` keeps the output schema flat
+    and oracle-friendly; semantically identical for tumbling windows.
+    """
+    keys = (["route"] if with_route else []) + [
+        F.date_trunc("hour", F.col("ts")).alias("window_start"),
+        F.col("conv_id"),
+        F.col("tool"),
+    ]
+    return (
+        df.groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("turn_count"),
+            F.countDistinct("role").alias("distinct_roles"),
+            F.sum(F.length("text")).alias("bytes_sum"),
+        )
+    )
+
+
+def item_count(df: DataFrame) -> int:
+    """LogRecordCount analog (pdata/plog/logs.go:17-29)."""
+    return df.count()
+
+
+def grouped_item_counts(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Multi-shard batch accounting: one shard per distinct combination
+    of metadata keys (batch_processor.go:299-366). Key normalization:
+    case-insensitive (lower), NULL kept distinct from '' — the reference's
+    "empty ≠ unset" rule (config.go:31-40) holds because Spark groups
+    NULL and '' separately; sorted-key normalization is the caller
+    passing ``sorted(keys)``.
+    """
+    norm = [F.lower(F.col(k)).alias(k) for k in sorted(keys)]
+    return df.groupBy(*norm).agg(F.count(F.lit(1)).alias("item_count"))
+
+
+def severity_histogram(df: DataFrame) -> DataFrame:
+    """Distribution over SeverityNumber (plog/severity_number.go domain),
+    the debug-exporter summary analog."""
+    return (
+        df.groupBy("severity_num")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def cardinality_guard(df: DataFrame, keys: list[str], limit: int) -> int:
+    """metadata_cardinality_limit guardrail (batch_processor.go:332-339):
+    error when the distinct key-combination count exceeds the limit."""
+    n = df.select(*[F.lower(F.col(k)) for k in sorted(keys)]).distinct().count()
+    if n > limit:
+        raise ValueError(
+            f"cardinality limit exceeded: {n} > {limit} for keys {sorted(keys)}"
+        )
+    return n

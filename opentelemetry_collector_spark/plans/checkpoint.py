@@ -1,0 +1,91 @@
+"""Checkpoint + lineage — the persistent-queue / obsreport analog
+(SURVEY §2.5 F3, §2.4 A6).
+
+The reference's persistent queue survives crashes with a WAL of
+read/write indices plus a currently-dispatched set; on restart un-acked
+items are re-dispatched, giving at-least-once delivery
+(exporter/exporterhelper/internal/queue/persistent_queue.go:50-95,
+430-500). Its telemetry layer counts items in/out on every pipeline
+edge (service/internal/obsconsumer/logs.go:53-70).
+
+Batch-Spark re-expression:
+
+* ``checkpoint`` table: one row per (run_id, stage) committed ONLY
+  after the stage's sink write succeeded (the ack). On resume,
+  completed stages are skipped; incomplete stages re-run. Because sink
+  writes are deterministic overwrites (sinks/tables.py), re-running is
+  idempotent → at-least-once execution + idempotent commit =
+  effectively-once delivery, the same two-phase shape as the queue's
+  dispatch/ack (persistent_queue.go:321-428).
+* ``pipeline_metrics`` table: per-stage rows_in/rows_out/wall_ms, the
+  otelcol.*.consumed/produced.items instruments
+  (service/internal/metadata/generated_telemetry.go:191-293).
+
+State lives in JSON files (driver-side, tiny) so no Spark job is needed
+to read or commit a checkpoint; on a real deployment these become rows
+in an Iceberg checkpoint table written with snapshot isolation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+
+
+@dataclass
+class StageMetric:
+    run_id: str
+    stage: str
+    rows_in: int
+    rows_out: int
+    wall_ms: int
+    extra: dict = field(default_factory=dict)
+
+
+class CheckpointStore:
+    """Directory-backed checkpoint + lineage store."""
+
+    def __init__(self, base_dir: str, run_id: str | None = None):
+        self.base_dir = base_dir
+        self.run_id = run_id or uuid.uuid4().hex[:12]
+        os.makedirs(self._dir(), exist_ok=True)
+
+    def _dir(self) -> str:
+        return os.path.join(self.base_dir, "checkpoint", self.run_id)
+
+    def _stage_path(self, stage: str) -> str:
+        return os.path.join(self._dir(), f"{stage}.json")
+
+    # -- ack protocol --------------------------------------------------
+    def is_done(self, stage: str) -> bool:
+        return os.path.exists(self._stage_path(stage))
+
+    def commit(self, stage: str, metric: StageMetric) -> None:
+        """The ack: write-then-rename so a crash mid-commit leaves no
+        partial marker (the WAL's atomic index update)."""
+        tmp = self._stage_path(stage) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "run_id": metric.run_id,
+                    "stage": metric.stage,
+                    "rows_in": metric.rows_in,
+                    "rows_out": metric.rows_out,
+                    "wall_ms": metric.wall_ms,
+                    "committed_at": time.time(),
+                    **metric.extra,
+                },
+                f,
+            )
+        os.replace(tmp, self._stage_path(stage))
+
+    def metrics(self) -> list[dict]:
+        out = []
+        for fn in sorted(os.listdir(self._dir())):
+            if fn.endswith(".json"):
+                with open(os.path.join(self._dir(), fn)) as f:
+                    out.append(json.load(f))
+        return out

@@ -1,0 +1,184 @@
+"""Pipeline assembly — service graph analog (SURVEY §2.3 R4, §3.1).
+
+The reference builds a gonum DAG from config (receivers → capabilities →
+processors → fanout → exporters), validates it (≥1 receiver and ≥1
+exporter per pipeline, no cycles), and instantiates nodes in reverse
+topological order (service/internal/graph/graph.go:75-372,
+service/pipelines/config.go:25-64). Here a pipeline is an ordered list
+of pure ``DataFrame → DataFrame`` stages (the ConsumeLogs ABI,
+consumer/logs.go:15-20, becomes a function — Capabilities/MutatesData
+is moot under immutability, SURVEY §1.3) terminated by sink writes;
+Catalyst owns the physical DAG.
+
+Validation rules carried over: every pipeline needs a source and ≥1
+sink; stage names unique; sink dedup (two routes to one table union
+rather than double-write — graph.go:213-248).
+
+:func:`run_pipeline` is the flagship end-to-end job:
+scan → parse → enrich → filter → route → fan-out sinks → per-sink
+aggregates, each stage checkpoint-gated and metered.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_spark.operators import aggregate as agg_ops
+from opentelemetry_collector_spark.operators import enrich as enrich_ops
+from opentelemetry_collector_spark.operators import filters as filter_ops
+from opentelemetry_collector_spark.operators import parse as parse_ops
+from opentelemetry_collector_spark.operators import route as route_ops
+from opentelemetry_collector_spark.plans.checkpoint import CheckpointStore, StageMetric
+from opentelemetry_collector_spark.sinks.tables import TableCatalog
+from opentelemetry_collector_spark.sources import (
+    derive_transcripts,
+    role_lookup_df,
+    tool_lookup_df,
+)
+from opentelemetry_collector_spark.sqltext import SINK_NAMES
+
+Stage = Callable[[DataFrame], DataFrame]
+
+
+@dataclass
+class Pipeline:
+    """Declarative pipeline spec: source → stages → sinks."""
+
+    name: str
+    source: Callable[[SparkSession], DataFrame]
+    stages: list[tuple[str, Stage]] = field(default_factory=list)
+    sinks: list[str] = field(default_factory=list)
+
+    def validate(self) -> None:
+        # service/pipelines/config.go:25-64: ≥1 receiver, ≥1 exporter.
+        if self.source is None:
+            raise ValueError(f"pipeline {self.name}: missing source")
+        if not self.sinks:
+            raise ValueError(f"pipeline {self.name}: missing sinks")
+        names = [n for n, _ in self.stages]
+        if len(names) != len(set(names)):
+            raise ValueError(f"pipeline {self.name}: duplicate stage names {names}")
+        if len(self.sinks) != len(set(self.sinks)):
+            # sink dedup: one physical table per sink id (graph.go:213-248)
+            raise ValueError(f"pipeline {self.name}: duplicate sinks {self.sinks}")
+
+    def plan(self, spark: SparkSession) -> DataFrame:
+        """Compose the lazy plan (no action)."""
+        self.validate()
+        df = self.source(spark)
+        for _, fn in self.stages:
+            df = fn(df)
+        return df
+
+
+@dataclass
+class RunResult:
+    run_id: str
+    sink_counts: dict[str, int]
+    quarantined: int
+    stages_skipped: list[str]
+    metrics: list[dict]
+
+
+def default_stages(spark: SparkSession) -> list[tuple[str, Stage]]:
+    tool_lk = tool_lookup_df(spark)
+    role_lk = role_lookup_df(spark)
+    return [
+        ("parse", lambda df: parse_ops.parse_stage(df)),
+        ("enrich", lambda df: enrich_ops.enrich_stage(df, tool_lk, role_lk)),
+        # filter: quarantine unparseable rows; keep everything parseable
+        # (strict-set example configs live in tests).
+        ("route", lambda df: route_ops.route_stage(df)),
+    ]
+
+
+def run_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    warehouse: str,
+    run_id: str | None = None,
+    source: Callable[[SparkSession], DataFrame] | None = None,
+    fail_after_stage: str | None = None,
+) -> RunResult:
+    """The flagship job, checkpoint-gated per stage.
+
+    ``fail_after_stage`` injects a crash for the kill/resume property
+    test (receiver/receivertest/contract_checker.go:75-120 scenario:
+    random failure → resume → no loss, no duplication).
+    """
+    catalog = TableCatalog(spark, warehouse)
+    ckpt = CheckpointStore(warehouse, run_id)
+    skipped: list[str] = []
+
+    def _gate(stage: str, fn: Callable[[], tuple[int, int, dict]]) -> None:
+        """Run a terminal (sink-writing) stage unless already acked."""
+        if ckpt.is_done(stage):
+            skipped.append(stage)
+            return
+        t0 = time.monotonic()
+        rows_in, rows_out, extra = fn()
+        ckpt.commit(
+            stage,
+            StageMetric(
+                run_id=ckpt.run_id, stage=stage, rows_in=rows_in,
+                rows_out=rows_out, wall_ms=int((time.monotonic() - t0) * 1000),
+                extra=extra,
+            ),
+        )
+        if fail_after_stage == stage:
+            raise RuntimeError(f"injected failure after stage {stage}")
+
+    src = source or (lambda s: derive_transcripts(s, sf_dir))
+    transcripts = src(spark)
+    parsed = parse_ops.parse_stage(transcripts)
+    good, bad = parse_ops.quarantine_split(parsed)
+    enriched = enrich_ops.enrich_stage(good, tool_lookup_df(spark), role_lookup_df(spark))
+    routed = route_ops.route_stage(enriched).persist()
+
+    try:
+        # quarantine sink (permanent-error rows; F7)
+        _gate("quarantine", lambda: (
+            lambda n: (n, n, {})
+        )(_write_counted(catalog, "quarantine", bad.drop("attrs"))))
+
+        # per-sink routed writes + accounting (R1 fan-out over one cached parent)
+        for sink in SINK_NAMES:
+            branch = routed.filter(F.col("route") == sink)
+            _gate(f"write_{sink}", lambda b=branch, s=sink: (
+                lambda n: (n, n, {"sink": s})
+            )(_write_counted(catalog, s, b.drop("attrs"))))
+            _gate(f"agg_{sink}", lambda b=branch, s=sink: (
+                lambda n: (n, n, {"sink": s})
+            )(_write_counted(catalog, f"agg_{s}",
+                             agg_ops.hourly_sink_accounting(b, with_route=False))))
+    finally:
+        routed.unpersist()
+
+    sink_counts = {
+        s: m["rows_out"]
+        for m in ckpt.metrics()
+        for s in [m.get("sink")]
+        if s and m["stage"].startswith("write_")
+    }
+    quarantined = next(
+        (m["rows_out"] for m in ckpt.metrics() if m["stage"] == "quarantine"), 0
+    )
+    return RunResult(
+        run_id=ckpt.run_id,
+        sink_counts=sink_counts,
+        quarantined=quarantined,
+        stages_skipped=skipped,
+        metrics=ckpt.metrics(),
+    )
+
+
+def _write_counted(catalog: TableCatalog, table: str, df: DataFrame) -> int:
+    """Write + count in one pass: stamp rows, write, then count the
+    written files (no second scan of the input)."""
+    catalog.overwrite(table, df)
+    return catalog.read(table).count()

@@ -1,0 +1,82 @@
+"""Sinks — exporter analogs (SURVEY §2.1 S5/S6/S7).
+
+On a production deployment each sink is an Iceberg table append
+(``df.writeTo(name).append()``) whose snapshot commit is atomic, giving
+the exactly-once half of the checkpoint protocol. This sandbox has no
+Iceberg runtime jars, so :class:`TableCatalog` provides the same
+interface over parquet directories with an idempotent, deterministic
+**overwrite-by-run** layout: a sink write for (run_id, sink) always
+lands in the same directory and is atomic at the directory-replace
+level — re-running a failed stage cannot double-append, which is the
+property the reference's persistent-queue ack protocol exists to provide
+(exporter/exporterhelper/internal/queue/persistent_queue.go:321-428).
+
+``maxRecordsPerFile`` plays the reference's send_batch_max_size role
+(processor/batchprocessor/config.go:26-29): bounds output file size so
+downstream readers get uniform splits.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class TableCatalog:
+    """Minimal warehouse over a base directory (Iceberg-shaped API)."""
+
+    def __init__(self, spark: SparkSession, base_dir: str):
+        self.spark = spark
+        self.base_dir = base_dir
+
+    def path(self, table: str) -> str:
+        return os.path.join(self.base_dir, table)
+
+    def overwrite(self, table: str, df: DataFrame, max_records_per_file: int = 0,
+                  partition_by: list[str] | None = None) -> None:
+        """Idempotent full-replace write (deterministic target → re-runs
+        converge instead of duplicating)."""
+        w = df.write.mode("overwrite")
+        if max_records_per_file:
+            w = w.option("maxRecordsPerFile", str(max_records_per_file))
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self.path(table))
+
+    def append(self, table: str, df: DataFrame) -> None:
+        df.write.mode("append").parquet(self.path(table))
+
+    def read(self, table: str) -> DataFrame:
+        return self.spark.read.parquet(self.path(table))
+
+    def exists(self, table: str) -> bool:
+        p = self.path(table)
+        return os.path.isdir(p) and any(
+            f.endswith(".parquet") or f == "_SUCCESS" for f in os.listdir(p)
+        )
+
+
+def debug_format(df: DataFrame, verbosity: str = "normal") -> DataFrame:
+    """Debug exporter line rendering (exporter/debugexporter/internal/
+    normal/logs.go:24-47): one line per record, ``<body> key=value ...``
+    with attributes in insertion order. Our attrs map uses a fixed key
+    order, so we render the known keys in that order.
+    """
+    from pyspark.sql import functions as F
+
+    if verbosity == "basic":
+        # basic = just counts (debugexporter/exporter.go:88-95)
+        return df.groupBy().agg(F.count(F.lit(1)).alias("resource_logs"))
+    body = F.col("text")
+    attr_str = F.concat_ws(
+        " ",
+        F.transform(
+            F.map_entries(F.col("attrs")),
+            lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+        ),
+    )
+    return df.select(
+        F.concat_ws(" ", body, attr_str).alias("line"),
+        "conv_id", "turn_idx",
+    )

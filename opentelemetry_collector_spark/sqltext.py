@@ -1,0 +1,183 @@
+"""Dialect-neutral SQL fragments shared by the Spark job and the DuckDB
+correctness oracle.
+
+The driver's correctness gate compares our Spark DataFrames against
+DuckDB running ANSI SQL over the same parquet tables. The synthetic
+``transcripts`` input (BASELINE.json input_hint shape: conv_id, turn_idx,
+role, text, tool, ts) is derived deterministically from the driver's
+``events`` table with the fragment below, written in the common subset of
+Spark SQL and DuckDB SQL so both engines materialize the identical table:
+
+* regex character classes only (``[0-9]``, no ``\\d``) — Spark SQL string
+  literals process backslash escapes, DuckDB's do not;
+* ``printf`` (present in both), ``row_number``, ``date_trunc``, ``md5``,
+  ``floor`` + explicit casts (DuckDB rounds on double→int casts, Spark
+  truncates — ``floor`` first makes them agree).
+
+The generated text mirrors the reference's deterministic two-shape log
+generator (pdata/testdata/log.go:30-56 alternates fillLogOne/fillLogTwo
+under a pinned timestamp); (conv_id, turn_idx) is the unique-ID invariant
+used for no-loss/no-duplication accounting, the analog of
+UniqueIDAttrName (receiver/receivertest/contract_checker.go:32-35).
+"""
+
+from __future__ import annotations
+
+# --- transcripts derivation ------------------------------------------------
+# Maps the events table (event_id, ts, user_id, event_type, value, props)
+# to transcripts(conv_id, turn_idx, role, text, tool, ts).
+#
+#   conv_id   one conversation per user_id (naturally skewed draw)
+#   turn_idx  dense 0-based order of the user's events by event_id
+#   role      4-cycle with per-conversation phase (FIXTURES.md §1)
+#   tool      fixed event_type → tool map; 'none' for error turns
+#   text      two alternating grok-parseable shapes ("call" / "result")
+#   ts        event timestamp, unchanged
+
+TRANSCRIPTS_SQL = """
+WITH t0 AS (
+  SELECT
+    printf('conv-%08d', user_id)                                    AS conv_id,
+    CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1
+         AS INT)                                                    AS turn_idx,
+    user_id,
+    event_id                                                        AS seq,
+    CASE event_type
+      WHEN 'view' THEN 'search' WHEN 'click' THEN 'browser'
+      WHEN 'purchase' THEN 'python' WHEN 'signup' THEN 'editor'
+      ELSE 'none' END                                               AS tool,
+    CASE WHEN event_type = 'error' THEN 500
+         WHEN value < 50.0 THEN 404 ELSE 200 END                    AS status,
+    CAST(floor(value * 10.0) AS BIGINT) % 5000                      AS lat_ms,
+    CAST(floor(value * 100.0) AS BIGINT) % 100000                   AS nbytes,
+    CASE WHEN regexp_extract(props, '"k": ([0-9]+)', 1) = '' THEN 'x'
+         ELSE regexp_extract(props, '"k": ([0-9]+)', 1) END         AS k,
+    event_type,
+    ts
+  FROM {events}
+)
+SELECT
+  conv_id,
+  turn_idx,
+  CASE CAST((turn_idx + user_id) % 4 AS INT)
+    WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
+    WHEN 2 THEN 'system' ELSE 'tool' END                            AS role,
+  CASE WHEN turn_idx % 2 = 0 THEN
+    printf('[seq=%d] call tool=%s status=%d latency_ms=%d msg=%s k%s',
+           seq, tool, status, lat_ms, event_type, k)
+  ELSE
+    printf('[seq=%d] result status=%d latency_ms=%d bytes=%d msg=%s k%s',
+           seq, status, lat_ms, nbytes, event_type, k)
+  END                                                               AS text,
+  tool,
+  ts
+FROM t0
+"""
+
+
+def transcripts_sql(events_rel: str = "events") -> str:
+    """The derivation with the events relation name substituted."""
+    return TRANSCRIPTS_SQL.format(events=events_rel)
+
+
+def transcripts_cte(events_rel: str = "events") -> str:
+    """``WITH transcripts AS (...)``-ready body for composing oracles."""
+    return f"WITH transcripts AS ({transcripts_sql(events_rel)})"
+
+
+# --- enrichment lookups ------------------------------------------------------
+# Broadcast-join right sides (FIXTURES.md §3). Expressed as VALUES so the
+# oracle inlines the identical rows. Mirrors resource/attribute enrichment
+# (docs/rfcs/processing.md:84-90,204-209): left join, miss → nulls.
+
+TOOL_LOOKUP_ROWS = [
+    ("search", "web", "infra", False),
+    ("browser", "web", "infra", False),
+    ("python", "code", "platform", True),
+    ("editor", "code", "platform", False),
+    ("none", "conversation", "product", False),
+]
+
+ROLE_LOOKUP_ROWS = [
+    ("user", "human", "billable"),
+    ("assistant", "model", "billable"),
+    ("system", "control", "free"),
+    ("tool", "machine", "free"),
+]
+
+TOOL_LOOKUP_SQL = (
+    "SELECT * FROM (VALUES "
+    + ", ".join(
+        f"('{t}', '{c}', '{o}', {str(p).lower()})" for t, c, o, p in TOOL_LOOKUP_ROWS
+    )
+    + ") AS tool_lookup(tool, tool_category, tool_owner, is_privileged)"
+)
+
+ROLE_LOOKUP_SQL = (
+    "SELECT * FROM (VALUES "
+    + ", ".join(f"('{r}', '{k}', '{b}')" for r, k, b in ROLE_LOOKUP_ROWS)
+    + ") AS role_lookup(role, role_kind, billing_class)"
+)
+
+
+# --- parse-stage regexes ------------------------------------------------------
+# Character-class-only patterns (cross-dialect safe, see module docstring).
+# Used by the Spark parse operator (operators/parse.py) via the DataFrame
+# API and, verbatim, inside oracle SQL strings.
+
+RE_SEQ = r"\[seq=([0-9]+)\]"
+RE_KIND = r"^\[seq=[0-9]+\] ([a-z]+) "
+RE_TOOL = r" tool=([a-z]+) "
+RE_STATUS = r" status=([0-9]+) "
+RE_LATENCY = r" latency_ms=([0-9]+) "
+RE_BYTES = r" bytes=([0-9]+) "
+RE_MSG = r" msg=(.*)$"
+
+# severity mapping: status → SeverityNumber domain 0–24
+# (pdata/plog/severity_number.go:14-38: 9=INFO, 13=WARN, 17=ERROR)
+SEVERITY_CASE_SQL = (
+    "CASE WHEN status_code >= 500 THEN 17 "
+    "WHEN status_code >= 400 THEN 13 "
+    "WHEN status_code >= 200 THEN 9 ELSE 0 END"
+)
+
+# parse stage as a SQL projection over transcripts — the oracle twin of
+# operators/parse.py:parse_stage (keep the two in lockstep; tests assert
+# equality between them via the driver's value-hash).
+PARSE_SQL = f"""
+SELECT
+  conv_id, turn_idx, role, text, tool, ts,
+  CAST(nullif(regexp_extract(text, '{RE_SEQ}', 1), '') AS BIGINT)      AS seq,
+  regexp_extract(text, '{RE_KIND}', 1)                                 AS event_kind,
+  CAST(nullif(regexp_extract(text, '{RE_STATUS}', 1), '') AS INT)      AS status_code,
+  CAST(nullif(regexp_extract(text, '{RE_LATENCY}', 1), '') AS DOUBLE)  AS latency_ms,
+  CAST(nullif(regexp_extract(text, '{RE_BYTES}', 1), '') AS BIGINT)    AS bytes,
+  nullif(regexp_extract(text, '{RE_MSG}', 1), '')                      AS msg,
+  nullif(regexp_extract(text, '{RE_TOOL}', 1), '')                     AS tool_parsed
+FROM transcripts
+"""
+
+PARSED_SQL = f"""
+SELECT *,
+  {SEVERITY_CASE_SQL}                                                  AS severity_num,
+  (seq IS NOT NULL AND status_code IS NOT NULL)                        AS parse_ok
+FROM ({PARSE_SQL})
+"""
+
+
+def parsed_cte(events_rel: str = "events") -> str:
+    """``WITH transcripts AS (...), parsed AS (...)`` prefix for oracles."""
+    return f"{transcripts_cte(events_rel)}, parsed AS ({PARSED_SQL})"
+
+
+# --- routing -----------------------------------------------------------------
+# Route key (tool, role) → sink name (FIXTURES.md §4): tool sinks for the
+# four real tools, role-keyed default sink for non-tool turns. Mirrors the
+# connector router choosing a pipeline subset per record
+# (connector/logs_router.go:18-69).
+ROUTE_CASE_SQL = (
+    "CASE WHEN tool IN ('search', 'browser', 'python', 'editor') "
+    "THEN concat('sink_', tool) ELSE 'sink_default' END"
+)
+
+SINK_NAMES = ["sink_search", "sink_browser", "sink_python", "sink_editor", "sink_default"]
