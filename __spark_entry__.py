@@ -134,6 +134,107 @@ def q_metadata_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg_ops.grouped_item_counts(_transcripts(spark, sf_dir), ["role", "tool"])
 
 
+# --- training-data pipeline queries (documents / embeddings) ----------------
+
+def _docs_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dup-injected corpus (twin of sqltext.DOCS_AUG_SQL)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.select(
+        F.col("doc_id").alias("id"), F.lower(F.trim("text")).alias("text")
+    )
+    near = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select(
+            (F.col("doc_id") + 1000000).alias("id"),
+            F.regexp_replace(F.lower(F.trim("text")), "^[^ ]+", "zz").alias("text"),
+        )
+    )
+    exact = (
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .select(
+            (F.col("doc_id") + 2000000).alias("id"),
+            F.lower(F.trim("text")).alias("text"),
+        )
+    )
+    return base.unionByName(near).unionByName(exact)
+
+
+def _emb_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select(F.col("vec_id").alias("id"), "label", dbl.alias("v"))
+    copies = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("id"), "label", dbl.alias("v")
+    )
+    return base.unionByName(copies)
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opentelemetry_collector_spark.operators import dedup
+    return dedup.exact_dedup(_docs_aug(spark, sf_dir), id_col="id")
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opentelemetry_collector_spark.operators import dedup
+    return dedup.minhash_lsh_pairs(_docs_aug(spark, sf_dir), id_col="id")
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opentelemetry_collector_spark.operators import dedup
+    return dedup.ngram_jaccard_pairs(_docs_aug(spark, sf_dir), id_col="id")
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opentelemetry_collector_spark.operators import dedup
+    return dedup.simhash_pairs(_docs_aug(spark, sf_dir), id_col="id")
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opentelemetry_collector_spark.operators import dedup
+    return dedup.embedding_neardup_pairs(
+        _emb_aug(spark, sf_dir), id_col="id", vec_col="v", cell_col="label"
+    )
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opentelemetry_collector_spark.operators import similarity
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") < 10))
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opentelemetry_collector_spark.operators import similarity
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 10))
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opentelemetry_collector_spark.operators import textstats
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textstats.token_count(docs).select("doc_id", "n_tokens", "n_subwords_est")
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opentelemetry_collector_spark.operators import textstats
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textstats.quality_score(docs).select(
+        "doc_id", "n_chars_norm", "n_tokens", "avg_word_len",
+        "punct_ratio", "stopword_ratio", "quality",
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opentelemetry_collector_spark.operators import textstats
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textstats.lang_id(docs).select("doc_id", "lang", "lang_guess", "lang_guess_hits")
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opentelemetry_collector_spark.operators import textstats
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textstats.fingerprint(docs).select("doc_id", "fp_exact", "fp_bag")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcripts": q_transcripts,
@@ -147,6 +248,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_hourly": q_agg_hourly,
         "severity_hist": q_severity_hist,
         "metadata_shards": q_metadata_shards,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding": q_dedup_embedding,
+        "ann_topk": q_ann_topk,
+        "ann_ivf": q_ann_ivf,
+        "token_count": q_token_count,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
     }
 
 
@@ -214,5 +326,191 @@ def oracle_sql() -> dict[str, str]:
             {t} SELECT lower(role) AS role, lower(tool) AS tool,
                    count(*) AS item_count
             FROM transcripts GROUP BY 1, 2
+        """,
+        "dedup_exact": f"""
+            WITH docs AS ({sqltext.DOCS_AUG_SQL})
+            SELECT md5(text) AS fp, min(id) AS keep_id, count(*) AS n_copies
+            FROM docs GROUP BY 1
+        """,
+        "dedup_minhash_lsh": f"""
+            WITH docs AS ({sqltext.DOCS_AUG_SQL}),
+            sh AS (
+              SELECT id, {sqltext.SHINGLES_EXPR} AS sh
+              FROM (SELECT id, {sqltext.WORDS_EXPR} AS w, text FROM docs)
+            ),
+            sig AS (
+              SELECT id, list_transform(generate_series(0, 11), i ->
+                list_min(list_transform(sh, s ->
+                  md5(CAST(i AS VARCHAR) || '|' || s)))) AS mh
+              FROM sh
+            ),
+            banded AS (
+              SELECT id, CAST(b AS INT) AS band,
+                     md5(array_to_string(list_slice(mh, b*3 + 1, b*3 + 3), '|')) AS key
+              FROM sig, (SELECT unnest(generate_series(0, 3)) AS b)
+            )
+            SELECT a.id AS id_a, b.id AS id_b, count(*) AS matching_bands
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.key = b.key AND a.id < b.id
+            GROUP BY 1, 2
+        """,
+        "dedup_ngram_jaccard": f"""
+            WITH docs AS ({sqltext.DOCS_AUG_SQL}),
+            sh AS (
+              SELECT id, {sqltext.SHINGLES_EXPR} AS sh
+              FROM (SELECT id, {sqltext.WORDS_EXPR} AS w, text FROM docs)
+            ),
+            posting AS (
+              SELECT id, len(sh) AS n_sh, unnest(sh) AS s FROM sh
+            ),
+            hot AS (
+              SELECT s FROM posting GROUP BY s HAVING count(*) > 1000
+            ),
+            posting2 AS (
+              SELECT * FROM posting WHERE s NOT IN (SELECT s FROM hot)
+            ),
+            inter AS (
+              SELECT a.id AS id_a, b.id AS id_b,
+                     a.n_sh AS na, b.n_sh AS nb, count(*) AS inter
+              FROM posting2 a JOIN posting2 b ON a.s = b.s AND a.id < b.id
+              GROUP BY 1, 2, 3, 4
+            )
+            SELECT id_a, id_b, jaccard FROM (
+              SELECT id_a, id_b,
+                     round(inter / (na + nb - inter), 6) AS jaccard
+              FROM inter
+            ) WHERE jaccard >= 0.8
+        """,
+        "dedup_simhash": f"""
+            WITH docs AS ({sqltext.DOCS_AUG_SQL}),
+            sig AS (
+              SELECT id, array_to_string(list_transform(generate_series(0, 31), j ->
+                CASE WHEN 2 * list_sum(list_transform(w, x ->
+                       ascii(substring(md5(x), j+1, 1)) % 2)) - len(w) > 0
+                     THEN '1' ELSE '0' END), '') AS sh
+              FROM (SELECT id, {sqltext.WORDS_EXPR} AS w FROM docs)
+            ),
+            banded AS (
+              SELECT id, sh, CAST(b AS INT) AS band,
+                     substring(sh, b*8 + 1, 8) AS key
+              FROM sig, (SELECT unnest(generate_series(0, 3)) AS b)
+            )
+            SELECT DISTINCT id_a, id_b, hamming FROM (
+              SELECT a.id AS id_a, b.id AS id_b,
+                     CAST(list_sum(list_transform(generate_series(1, 32), i ->
+                       CASE WHEN substring(a.sh, i, 1) != substring(b.sh, i, 1)
+                            THEN 1 ELSE 0 END)) AS INT) AS hamming
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.key = b.key AND a.id < b.id
+            ) WHERE hamming <= 3
+        """,
+        "dedup_embedding": f"""
+            WITH emb AS ({sqltext.EMB_AUG_SQL})
+            SELECT id_a, id_b, cos FROM (
+              SELECT a.id AS id_a, b.id AS id_b,
+                     round(list_dot_product(a.v, b.v) /
+                           (sqrt(list_dot_product(a.v, a.v)) *
+                            sqrt(list_dot_product(b.v, b.v))), 4) AS cos
+              FROM emb a JOIN emb b ON a.label = b.label AND a.id < b.id
+            ) WHERE cos >= 0.99
+        """,
+        "ann_topk": """
+            WITH q AS (
+              SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id < 10
+            ),
+            c AS (
+              SELECT vec_id AS nbr_id, CAST(embedding AS DOUBLE[]) AS cv
+              FROM embeddings
+            ),
+            scored AS (
+              SELECT query_id, nbr_id,
+                     round(list_dot_product(qv, cv) /
+                           (sqrt(list_dot_product(qv, qv)) *
+                            sqrt(list_dot_product(cv, cv))), 4) AS cos
+              FROM c, q WHERE query_id != nbr_id
+            ),
+            ranked AS (
+              SELECT *, CAST(row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS INT) AS rank
+              FROM scored
+            )
+            SELECT query_id, rank, nbr_id, cos FROM ranked WHERE rank <= 5
+        """,
+        "ann_ivf": """
+            WITH q AS (
+              SELECT vec_id AS query_id, label AS qcell,
+                     CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id < 10
+            ),
+            c AS (
+              SELECT vec_id AS nbr_id, label AS cell,
+                     CAST(embedding AS DOUBLE[]) AS cv
+              FROM embeddings
+            ),
+            scored AS (
+              SELECT query_id, nbr_id,
+                     round(list_dot_product(qv, cv) /
+                           (sqrt(list_dot_product(qv, qv)) *
+                            sqrt(list_dot_product(cv, cv))), 4) AS cos
+              FROM c JOIN q ON cell = qcell AND query_id != nbr_id
+            ),
+            ranked AS (
+              SELECT *, CAST(row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS INT) AS rank
+              FROM scored
+            )
+            SELECT query_id, rank, nbr_id, cos FROM ranked WHERE rank <= 5
+        """,
+        "token_count": f"""
+            SELECT doc_id,
+                   CAST(len({sqltext.WORDS_EXPR}) AS INT) AS n_tokens,
+                   CAST(ceil(length(lower(trim(text))) / 4.0) AS BIGINT) AS n_subwords_est
+            FROM documents
+        """,
+        "quality_score": f"""
+            SELECT doc_id, n_chars_norm, n_tokens,
+                   round(CAST(n_chars_norm AS DOUBLE) / n_tokens, 6) AS avg_word_len,
+                   round(CAST(punct AS DOUBLE) / n_chars_norm, 6) AS punct_ratio,
+                   round(CAST(stop_hits AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
+                   round(least(1.0, CAST(n_tokens AS DOUBLE) / 64.0) *
+                         (1.0 - round(CAST(punct AS DOUBLE) / n_chars_norm, 6)), 6) AS quality
+            FROM (
+              SELECT doc_id,
+                     CAST(length(lower(trim(text))) AS INT) AS n_chars_norm,
+                     CAST(len(w) AS INT) AS n_tokens,
+                     length(regexp_replace(lower(trim(text)), '[a-z0-9 ]', '', 'g')) AS punct,
+                     len(list_filter(w, x -> x IN
+                       ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS stop_hits
+              FROM (SELECT doc_id, text, {sqltext.WORDS_EXPR} AS w FROM documents)
+            )
+        """,
+        "lang_id": f"""
+            SELECT doc_id, lang,
+                   CASE WHEN m = 0 THEN 'und'
+                        WHEN h_en = m THEN 'en' WHEN h_es = m THEN 'es'
+                        WHEN h_de = m THEN 'de' WHEN h_fr = m THEN 'fr'
+                        ELSE 'zh' END AS lang_guess,
+                   CAST(m AS INT) AS lang_guess_hits
+            FROM (
+              SELECT doc_id, lang,
+                     greatest(h_en, h_es, h_de, h_fr, h_zh) AS m,
+                     h_en, h_es, h_de, h_fr, h_zh
+              FROM (
+                SELECT doc_id, lang,
+                       len(list_filter(w, x -> x IN ('the', 'of', 'and'))) AS h_en,
+                       len(list_filter(w, x -> x IN ('el', 'la', 'de'))) AS h_es,
+                       len(list_filter(w, x -> x IN ('der', 'die', 'und'))) AS h_de,
+                       len(list_filter(w, x -> x IN ('le', 'la', 'et'))) AS h_fr,
+                       len(list_filter(w, x -> x IN ('的', '是', '了'))) AS h_zh
+                FROM (SELECT doc_id, lang, {sqltext.WORDS_EXPR} AS w FROM documents)
+              )
+            )
+        """,
+        "fingerprint": f"""
+            SELECT doc_id,
+                   md5(lower(trim(text))) AS fp_exact,
+                   md5(array_to_string(list_sort(list_distinct({sqltext.WORDS_EXPR})), ' ')) AS fp_bag
+            FROM documents
         """,
     }

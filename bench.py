@@ -1,0 +1,111 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": <total sec>, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+The throughput headline is the end-to-end parse → enrich → route →
+aggregate pipeline (BASELINE.json metric, turns/sec) over two inputs:
+
+* ``pipeline_events``   — transcripts derived from the sf events table,
+  full fan-out write to a temp warehouse (I/O included);
+* ``pipeline_synth2m``  — 2M synthetic turns, compute-only (no sink
+  I/O), isolating operator throughput from local-disk effects.
+
+Scaling-efficiency evidence (local[8] vs local[32]) lives in
+bench_scaling.py → BENCH/BASELINE.md, not here, to keep the per-round
+bench fast.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from opentelemetry_collector_spark.operators import aggregate as agg_ops
+    from opentelemetry_collector_spark.operators import enrich as enrich_ops
+    from opentelemetry_collector_spark.operators import parse as parse_ops
+    from opentelemetry_collector_spark.operators import route as route_ops
+    from opentelemetry_collector_spark.plans.pipeline import run_pipeline
+    from opentelemetry_collector_spark.session import get_spark
+    from opentelemetry_collector_spark.sources import (
+        derive_transcripts,
+        role_lookup_df,
+        synth_transcripts,
+        tool_lookup_df,
+    )
+
+    spark = get_spark(app_name="otelcol-spark-bench")
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.monotonic()
+        fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    # 1. full pipeline incl. sink writes, over events-derived transcripts
+    wh = tempfile.mkdtemp(prefix="otelcol_bench_wh_")
+    n_events_turns = derive_transcripts(spark, sf_dir).count()
+    try:
+        timed("pipeline_events", lambda: run_pipeline(spark, sf_dir, wh))
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+    extra["pipeline_events_turns"] = n_events_turns
+    extra["pipeline_events_turns_per_sec"] = round(
+        n_events_turns / timings["pipeline_events"], 1
+    )
+
+    # 2. compute-only throughput at 2M synthetic turns (skew included)
+    def synth_run() -> None:
+        t = synth_transcripts(spark, n_conversations=120_000, mean_turns=16,
+                              hot_conversations=3, hot_turns=20_000)
+        parsed = parse_ops.parse_stage(t).filter(F.col("parse_ok"))
+        enriched = enrich_ops.enrich_stage(
+            parsed, tool_lookup_df(spark), role_lookup_df(spark)
+        )
+        routed = route_ops.route_stage(enriched)
+        agg = agg_ops.hourly_sink_accounting(routed)
+        # force full materialization of the aggregate without collecting
+        agg.write.format("noop").mode("overwrite").save()
+
+    n_synth = 120_000 * 16 + 3 * 20_000
+    timed("pipeline_synth2m", synth_run)
+    extra["pipeline_synth2m_turns"] = n_synth
+    extra["pipeline_synth2m_turns_per_sec"] = round(n_synth / timings["pipeline_synth2m"], 1)
+
+    # 3. individual oracle-checked queries at sf_dir
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    for name in sorted(qs):
+        df_fn = qs[name]
+        timed(name, lambda f=df_fn: f(spark, sf_dir).write.format("noop")
+              .mode("overwrite").save())
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "e2e parse→enrich→route→aggregate + operator suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        **extra,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

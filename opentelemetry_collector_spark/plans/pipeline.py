@@ -178,7 +178,11 @@ def run_pipeline(
 
 
 def _write_counted(catalog: TableCatalog, table: str, df: DataFrame) -> int:
-    """Write + count in one pass: stamp rows, write, then count the
-    written files (no second scan of the input)."""
-    catalog.overwrite(table, df)
-    return catalog.read(table).count()
+    """Write + count in ONE action via the Observation API — the
+    obsconsumer item counter riding the data path instead of a second
+    scan (service/internal/obsconsumer/logs.go:53-70)."""
+    from pyspark.sql import Observation
+
+    obs = Observation(f"rows_{table}")
+    catalog.overwrite(table, df.observe(obs, F.count(F.lit(1)).alias("n")))
+    return obs.get["n"]

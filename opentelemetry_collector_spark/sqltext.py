@@ -181,3 +181,40 @@ ROUTE_CASE_SQL = (
 )
 
 SINK_NAMES = ["sink_search", "sink_browser", "sink_python", "sink_editor", "sink_default"]
+
+
+# --- dedup / similarity fixtures ---------------------------------------------
+# The driver's documents/embeddings tables have no duplicates, so dedup
+# queries would return empty (a vacuous check). Both engines therefore
+# augment the corpus with deterministic copies: every 7th doc gets an
+# exact copy (+2_000_000 id), every 10th a near-copy with the first word
+# replaced (+1_000_000 id); every 10th embedding gets an exact copy
+# (+1_000_000 id). Same trick as the reference's deterministic test
+# generators injecting known shapes (pdata/testdata/log.go:30-56).
+
+DOCS_AUG_SQL = """
+SELECT doc_id AS id, lower(trim(text)) AS text FROM documents
+UNION ALL
+SELECT doc_id + 1000000 AS id,
+       regexp_replace(lower(trim(text)), '^[^ ]+', 'zz') AS text
+FROM documents WHERE doc_id % 10 = 0
+UNION ALL
+SELECT doc_id + 2000000 AS id, lower(trim(text)) AS text
+FROM documents WHERE doc_id % 7 = 0
+"""
+
+EMB_AUG_SQL = """
+SELECT vec_id AS id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+UNION ALL
+SELECT vec_id + 1000000 AS id, label, CAST(embedding AS DOUBLE[]) AS v
+FROM embeddings WHERE vec_id % 10 = 0
+"""
+
+# Dialect-neutral shingle/words fragments (DuckDB side; the Spark twins
+# are operators/textstats.words_col and operators/dedup.shingles_col).
+WORDS_EXPR = "string_split_regex(lower(trim(text)), '[ ]+')"
+SHINGLES_EXPR = (
+    "list_distinct(list_transform("
+    "generate_series(0, greatest(len(w) - 3, 0)), "
+    "i -> concat_ws(' ', w[i+1], w[i+2], w[i+3])))"
+)
