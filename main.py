@@ -1,0 +1,65 @@
+"""spark-submit entry point.
+
+    spark-submit --py-files otelcol_spark.zip main.py \
+        --sf-dir /data/testdata/sf0.1 --warehouse /data/wh [--run-id R] [--stream]
+
+Runs the flagship parse → enrich → route → aggregate pipeline with
+checkpointed, idempotent sink commits; re-running with the same
+--run-id resumes, skipping acked stages. Prints one JSON line with
+per-sink counts and stage metrics (the obsreport summary).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--warehouse", required=True)
+    ap.add_argument("--run-id", default=None, help="reuse to resume a failed run")
+    ap.add_argument("--master", default=None, help="override (spark-submit --master wins)")
+    ap.add_argument("--stream", action="store_true",
+                    help="run the Structured Streaming variant (AvailableNow)")
+    ap.add_argument("--source-path", default=None,
+                    help="streaming: directory of transcript parquet files")
+    args = ap.parse_args(argv)
+
+    from opentelemetry_collector_spark.session import get_spark
+
+    spark = get_spark(app_name="otelcol-spark", master=args.master)
+    try:
+        if args.stream:
+            from opentelemetry_collector_spark.sources import derive_transcripts
+            from opentelemetry_collector_spark.streaming import stream as ss
+
+            src = args.source_path
+            if src is None:
+                src = f"{args.warehouse}/_stream_src"
+                derive_transcripts(spark, args.sf_dir).write.mode("overwrite").parquet(src)
+            ss.run_available_now(
+                spark, src, args.warehouse, f"{args.warehouse}/_ckpt", accounting=False
+            )
+            print(json.dumps({"mode": "stream", "warehouse": args.warehouse}))
+        else:
+            from opentelemetry_collector_spark.plans.pipeline import run_pipeline
+
+            res = run_pipeline(spark, args.sf_dir, args.warehouse, run_id=args.run_id)
+            print(json.dumps({
+                "mode": "batch",
+                "run_id": res.run_id,
+                "sink_counts": res.sink_counts,
+                "quarantined": res.quarantined,
+                "stages_skipped": res.stages_skipped,
+                "total_rows": sum(res.sink_counts.values()),
+            }))
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -69,9 +69,12 @@ def synth_transcripts(
     if hot_conversations > 0 and hot_turns > 0:
         hot = spark.range(0, hot_conversations * hot_turns, 1,
                           partitions or spark.sparkContext.defaultParallelism)
+        # hot conversations EXTEND base conversations 0..hot-1: turn_idx
+        # continues densely after the base turns (keeps (conv_id, turn_idx)
+        # unique — the UniqueIDAttrName invariant).
         hot = hot.select(
             (F.col("id") % hot_conversations).alias("conv"),
-            (F.col("id") / hot_conversations).cast("int").alias("turn_idx"),
+            ((F.col("id") / hot_conversations).cast("int") + mean_turns).alias("turn_idx"),
             (F.col("id") + n_base).alias("seq"),
         )
         base = base.unionByName(hot)

@@ -1,0 +1,144 @@
+"""Structured Streaming variant of the pipeline.
+
+The reference IS a streaming system: push-based consumers with
+batch-timeout flushes (batch_processor.go:189-239) and at-least-once
+queues. The batch pipeline in plans/pipeline.py is our primary mapping;
+this module shows the same stage functions — they are pure
+DataFrame→DataFrame transforms — running unchanged under ``readStream``
+with:
+
+* event-time tumbling windows + watermark for the batchprocessor-style
+  accounting (the timeout flush becomes the watermark-driven state
+  eviction);
+* ``foreachBatch`` fan-out to per-sink tables (each micro-batch does
+  exactly what plans/pipeline.run_pipeline does once — checkpointed by
+  Spark's streaming offset log instead of our checkpoint table);
+* ``Trigger.AvailableNow`` for incremental catch-up runs (the scraper
+  controller's pull-loop analog, scraper/scraperhelper/controller.go:68-160).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from opentelemetry_collector_spark.operators import enrich as enrich_ops
+from opentelemetry_collector_spark.operators import parse as parse_ops
+from opentelemetry_collector_spark.operators import route as route_ops
+from opentelemetry_collector_spark.sources import role_lookup_df, tool_lookup_df
+
+TRANSCRIPT_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType(), False),
+        StructField("turn_idx", IntegerType(), False),
+        StructField("role", StringType(), False),
+        StructField("text", StringType(), False),
+        StructField("tool", StringType(), False),
+        StructField("ts", TimestampType(), False),
+    ]
+)
+
+
+def stream_transcripts(spark: SparkSession, path: str, max_files: int = 16) -> DataFrame:
+    """File-stream source over a transcripts directory (the OTLP receiver
+    analog in micro-batch form; on a real deployment this is a Kafka or
+    Iceberg-incremental source with the same downstream plan)."""
+    return (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(path)
+    )
+
+
+def transform(stream: DataFrame, spark: SparkSession) -> DataFrame:
+    """parse → enrich → route, identical code to the batch plan."""
+    parsed = parse_ops.parse_stage(stream).filter(F.col("parse_ok"))
+    enriched = enrich_ops.enrich_stage(
+        parsed, tool_lookup_df(spark), role_lookup_df(spark)
+    )
+    return route_ops.route_stage(enriched)
+
+
+def windowed_accounting(routed: DataFrame, watermark: str = "2 hours",
+                        window: str = "1 hour") -> DataFrame:
+    """Streaming batchprocessor accounting: watermarked tumbling-window
+    counts per (route, conv_id, tool). Late rows beyond the watermark
+    are dropped from state — the bounded-memory analog of the batch
+    processor's timeout flush."""
+    return (
+        routed.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", window).alias("w"),
+            "route", "conv_id", "tool",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("turn_count"),
+            F.sum(F.length("text")).alias("bytes_sum"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "route", "conv_id", "tool", "turn_count", "bytes_sum",
+        )
+    )
+
+
+def route_sink_writer(warehouse: str):
+    """foreachBatch fan-out: per-micro-batch routed append to per-sink
+    tables (fanoutconsumer per micro-batch; Spark's offset log + this
+    append being idempotent per epoch gives effectively-once)."""
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.persist()
+        try:
+            for row in batch_df.select("route").distinct().collect():
+                sink = row["route"]
+                (
+                    batch_df.filter(F.col("route") == sink)
+                    .write.mode("append")
+                    .parquet(f"{warehouse}/{sink}")
+                )
+        finally:
+            batch_df.unpersist()
+
+    return write_batch
+
+
+def run_available_now(
+    spark: SparkSession,
+    src_path: str,
+    warehouse: str,
+    checkpoint: str,
+    accounting: bool = True,
+):
+    """One catch-up pass over everything currently in ``src_path``:
+    routed sink writes + (optionally) windowed accounting to memory.
+    Returns the accounting query name for inspection."""
+    routed = transform(stream_transcripts(spark, src_path), spark)
+    q1 = (
+        routed.writeStream.foreachBatch(route_sink_writer(warehouse))
+        .option("checkpointLocation", f"{checkpoint}/route")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q1.awaitTermination()
+    if accounting:
+        acc = windowed_accounting(routed)
+        q2 = (
+            acc.writeStream.format("memory")
+            .queryName("stream_accounting")
+            .outputMode("append")
+            .option("checkpointLocation", f"{checkpoint}/acc")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination()
+        return "stream_accounting"
+    return None

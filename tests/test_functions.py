@@ -1,0 +1,67 @@
+"""functions/: Value.AsString rendering + pcommon.Map op semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_spark.functions import maps, render
+
+
+def _one(spark, col):
+    return spark.range(1).select(col.alias("v")).collect()[0]["v"]
+
+
+def test_render_double_es6(spark):
+    # value.go:419-434: integral floats → no '.0'; specials → literals
+    cases = [
+        (1.0, "1"),
+        (-7.0, "-7"),
+        (1.5, "1.5"),
+        (0.0, "0"),
+        (float("nan"), "NaN"),
+        (float("inf"), "Infinity"),
+        (float("-inf"), "-Infinity"),
+        (185.22, "185.22"),
+    ]
+    df = spark.createDataFrame([(v,) for v, _ in cases], "v double")
+    got = [r["s"] for r in df.select(render.render_double(F.col("v")).alias("s")).collect()]
+    assert got == [e for _, e in cases]
+
+
+def test_render_bool_bytes(spark):
+    row = spark.range(1).select(
+        render.render_bool(F.lit(True)).alias("t"),
+        render.render_bool(F.lit(False)).alias("f"),
+        render.render_bytes(F.lit(b"abc")).alias("b"),
+    ).collect()[0]
+    assert (row["t"], row["f"], row["b"]) == ("true", "false", "YWJj")
+
+
+def test_map_ops(spark):
+    m = F.create_map(F.lit("a"), F.lit("1"), F.lit("b"), F.lit("2"))
+    row = spark.range(1).select(
+        maps.map_get(m, "a").alias("get_a"),
+        maps.map_get(m, "zz").alias("get_miss"),
+        maps.map_contains(m, "b").alias("has_b"),
+        maps.map_len(maps.map_put(m, "c", F.lit("3"))).alias("len_after_put"),
+        maps.map_len(maps.map_put(m, "a", F.lit("9"))).alias("len_after_upsert"),
+        maps.map_get(maps.map_put(m, "a", F.lit("9")), "a").alias("upserted"),
+        maps.map_len(maps.map_remove(m, "a")).alias("len_after_remove"),
+        maps.map_len(maps.map_remove_if(m, lambda k, v: v == F.lit("2"))).alias("len_after_removeif"),
+        maps.map_as_raw_json(m).alias("js"),
+    ).collect()[0]
+    assert row["get_a"] == "1" and row["get_miss"] is None
+    assert row["has_b"] is True
+    assert row["len_after_put"] == 3
+    assert row["len_after_upsert"] == 2 and row["upserted"] == "9"
+    assert row["len_after_remove"] == 1
+    assert row["len_after_removeif"] == 1
+    assert row["js"] == '{"a":"1","b":"2"}'
+
+
+def test_map_merge_last_win(spark):
+    base = F.create_map(F.lit("k"), F.lit("old"), F.lit("x"), F.lit("1"))
+    over = F.create_map(F.lit("k"), F.lit("new"))
+    merged = maps.map_merge(base, over)
+    row = spark.range(1).select(maps.map_get(merged, "k").alias("v")).collect()[0]
+    assert row["v"] == "new"

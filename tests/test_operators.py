@@ -1,0 +1,112 @@
+"""Operator semantics vs the reference contracts: attribute ops (OTTL
+RFC), filter config validation, retry backoff, cardinality guard,
+debug-exporter rendering, synth generator invariants."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_spark.operators import aggregate as agg_ops
+from opentelemetry_collector_spark.operators import enrich as enrich_ops
+from opentelemetry_collector_spark.operators import filters as filter_ops
+from opentelemetry_collector_spark.operators import parse as parse_ops
+from opentelemetry_collector_spark.plans import errors
+from opentelemetry_collector_spark.sinks.tables import debug_format
+from opentelemetry_collector_spark.sources import derive_transcripts, synth_transcripts
+
+
+@pytest.fixture(scope="module")
+def parsed(spark, sf_dir):
+    return parse_ops.parse_stage(derive_transcripts(spark, sf_dir)).cache()
+
+
+def test_attr_ops_rfc_semantics(spark, parsed):
+    # docs/rfcs/processing.md:147-216 — set / delete / keep_keys / replace
+    df = parsed.limit(20)
+    one = enrich_ops.attrs_set(df, "env", F.lit("prod")).select("attrs").first()["attrs"]
+    assert one["env"] == "prod"
+    gone = enrich_ops.attrs_delete(df, "msg").select("attrs").first()["attrs"]
+    assert "msg" not in gone
+    kept = enrich_ops.attrs_keep_keys(df, ["seq", "status"]).select("attrs").first()["attrs"]
+    assert set(kept) <= {"seq", "status"}
+    red = enrich_ops.attrs_replace_all_matches(df, "[0-9]+", "#").select("attrs").first()["attrs"]
+    assert all(not any(ch.isdigit() for ch in v) for v in red.values())
+
+
+def test_attrs_replace_match_only_matching_key(spark, parsed):
+    df = parsed.limit(20)
+    out = enrich_ops.attrs_replace_match(df, "status", "^5..$", "5xx").select("attrs").collect()
+    for r in out:
+        a = r["attrs"]
+        if a.get("status", "").startswith("5") and len(a["status"]) == 3:
+            assert a["status"] == "5xx" or not a["status"].startswith("5")
+
+
+def test_matchspec_validation():
+    # filter/config.go:59-63: strict and regexp are mutually exclusive
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        filter_ops.MatchSpec(column="x", strict=["a"], regexp=["b"])
+    with pytest.raises(ValueError, match="empty"):
+        filter_ops.MatchSpec(column="x")
+    with pytest.raises(ValueError, match="include|exclude"):
+        filter_ops.filter_stage(None, [filter_ops.MatchSpec(column="x", strict=["a"])], mode="bad")
+
+
+def test_include_exclude_partition(spark, parsed):
+    # include(pred) ∪ exclude(pred) == all, disjoint
+    specs = [filter_ops.MatchSpec(column="tool", strict=["search", "none"])]
+    inc = filter_ops.filter_stage(parsed, specs, "include").count()
+    exc = filter_ops.filter_stage(parsed, specs, "exclude").count()
+    assert inc + exc == parsed.count() and inc > 0 and exc > 0
+
+
+def test_retry_backoff_schedule():
+    calls = {"n": 0}
+    sleeps: list[float] = []
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 4:
+            raise errors.RetryableError("transient")
+        return "ok"
+
+    assert errors.with_retry(flaky, sleep=sleeps.append) == "ok"
+    # 5s → 7.5s → 11.25s (configretry/backoff.go defaults)
+    assert sleeps == [5.0, 7.5, 11.25]
+
+    def perm():
+        raise errors.PermanentError("bad data")
+
+    with pytest.raises(errors.PermanentError):
+        errors.with_retry(perm, sleep=sleeps.append)
+    assert len(sleeps) == 3  # no retry on permanent
+
+
+def test_cardinality_guard(spark, parsed):
+    n = agg_ops.cardinality_guard(parsed, ["tool"], limit=100)
+    assert n == 5
+    with pytest.raises(ValueError, match="cardinality limit exceeded"):
+        agg_ops.cardinality_guard(parsed, ["conv_id"], limit=3)
+
+
+def test_debug_format_normal(spark, parsed):
+    # exporter/debugexporter normal mode: "<body> key=value ..." one line/record
+    lines = debug_format(parsed.limit(5)).collect()
+    assert all(" seq=" in r["line"] and r["line"].startswith("[seq=") for r in lines)
+    basic = debug_format(parsed, verbosity="basic").collect()
+    assert basic[0]["resource_logs"] == parsed.count()
+
+
+def test_synth_generator_invariants(spark):
+    df = synth_transcripts(spark, n_conversations=100, mean_turns=8,
+                           hot_conversations=1, hot_turns=100)
+    # (conv_id, turn_idx) unique — the UniqueIDAttrName invariant
+    n = df.count()
+    assert df.select("conv_id", "turn_idx").distinct().count() == n
+    # turn_idx dense from 0 per conversation
+    mx = df.groupBy("conv_id").agg(F.max("turn_idx").alias("mx"), F.count(F.lit(1)).alias("c"))
+    assert mx.filter(F.col("mx") != F.col("c") - 1).count() == 0
+    # all texts parseable by the parse stage
+    parsed = parse_ops.parse_stage(df)
+    assert parsed.filter(~F.col("parse_ok")).count() == 0

@@ -1,0 +1,66 @@
+"""Streaming variant: same stages under readStream; counts match batch;
+watermarked accounting materializes; no loss/dup across the fan-out."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_spark.sources import derive_transcripts
+from opentelemetry_collector_spark.sqltext import SINK_NAMES
+from opentelemetry_collector_spark.streaming import stream as ss
+
+
+def test_streaming_matches_batch(spark, sf_dir, tmp_path):
+    src = str(tmp_path / "src")
+    wh = str(tmp_path / "wh")
+    ckpt = str(tmp_path / "ckpt")
+
+    batch = derive_transcripts(spark, sf_dir)
+    batch.repartition(4).write.parquet(src)
+    n_input = batch.count()
+
+    qname = ss.run_available_now(spark, src, wh, ckpt)
+
+    # fan-out exactly-once across sink tables
+    total = 0
+    for s in SINK_NAMES:
+        try:
+            t = spark.read.parquet(f"{wh}/{s}")
+        except Exception:
+            continue
+        total += t.count()
+    assert total == n_input
+
+    # windowed accounting emits exactly the windows past the final
+    # watermark (max event time - 2h); later windows are withheld as
+    # potentially-late state — the streaming contract, not loss.
+    acc = spark.sql(f"SELECT * FROM {qname}")
+    assert {"window_start", "window_end", "route", "conv_id"} <= set(acc.columns)
+    max_ts = batch.agg(F.max("ts")).collect()[0][0]
+    expected = (
+        batch.filter(
+            F.window("ts", "1 hour")["end"]
+            <= F.lit(max_ts) - F.expr("INTERVAL 2 HOURS")
+        ).count()
+    )
+    assert acc.agg(F.sum("turn_count")).collect()[0][0] == expected
+    assert expected >= n_input * 0.9  # sanity: the horizon is small
+
+
+def test_streaming_is_incremental(spark, sf_dir, tmp_path):
+    """Second AvailableNow run with the same checkpoint reprocesses
+    nothing (the persistent-queue resume semantics via offset log)."""
+    src = str(tmp_path / "src")
+    wh = str(tmp_path / "wh")
+    ckpt = str(tmp_path / "ckpt")
+    batch = derive_transcripts(spark, sf_dir).limit(200)
+    batch.write.parquet(src)
+    ss.run_available_now(spark, src, wh, ckpt, accounting=False)
+    ss.run_available_now(spark, src, wh, ckpt, accounting=False)  # no-op
+    total = 0
+    for s in SINK_NAMES:
+        try:
+            total += spark.read.parquet(f"{wh}/{s}").count()
+        except Exception:
+            pass
+    assert total == 200  # not 400 — nothing was re-read
