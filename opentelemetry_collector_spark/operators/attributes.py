@@ -29,34 +29,36 @@ from opentelemetry_collector_spark.functions import maps
 ATTRS = "attrs"
 
 
-def set_attr(df: DataFrame, key: str, value: Column) -> DataFrame:
+def set_attr(df: DataFrame, key: str, value: Column, attrs_col: str = ATTRS) -> DataFrame:
     """``set(attributes["key"], value)`` — upsert, last-write-wins."""
-    return df.withColumn(ATTRS, maps.map_put(F.col(ATTRS), key, value))
+    return df.withColumn(attrs_col, maps.map_put(F.col(attrs_col), key, value))
 
 
-def delete_attr(df: DataFrame, key: str) -> DataFrame:
+def delete_attr(df: DataFrame, key: str, attrs_col: str = ATTRS) -> DataFrame:
     """``delete(attributes["key"])``."""
-    return df.withColumn(ATTRS, maps.map_remove(F.col(ATTRS), key))
+    return df.withColumn(attrs_col, maps.map_remove(F.col(attrs_col), key))
 
 
-def keep_keys(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+def keep_keys(df: DataFrame, keys: Sequence[str], attrs_col: str = ATTRS) -> DataFrame:
     """``keep_keys(attributes, "k1", "k2", ...)`` — drop everything else
     (docs/rfcs/processing.md:171-176)."""
     keyset = F.array(*[F.lit(k) for k in keys])
     return df.withColumn(
-        ATTRS,
-        F.map_filter(F.col(ATTRS), lambda k, _: F.array_contains(keyset, k)),
+        attrs_col,
+        F.map_filter(F.col(attrs_col), lambda k, _: F.array_contains(keyset, k)),
     )
 
 
-def replace_match(df: DataFrame, key: str, pattern: str, replacement: str) -> DataFrame:
+def replace_match(
+    df: DataFrame, key: str, pattern: str, replacement: str, attrs_col: str = ATTRS
+) -> DataFrame:
     """``replace_match(attributes["key"], pattern, replacement)`` —
     regex-rewrite ONE key's value; absent key stays absent
     (docs/rfcs/processing.md:177-189)."""
     return df.withColumn(
-        ATTRS,
+        attrs_col,
         F.transform_values(
-            F.col(ATTRS),
+            F.col(attrs_col),
             lambda k, v: F.when(
                 k == F.lit(key), F.regexp_replace(v, pattern, replacement)
             ).otherwise(v),
@@ -64,13 +66,15 @@ def replace_match(df: DataFrame, key: str, pattern: str, replacement: str) -> Da
     )
 
 
-def replace_all_matches(df: DataFrame, pattern: str, replacement: str) -> DataFrame:
+def replace_all_matches(
+    df: DataFrame, pattern: str, replacement: str, attrs_col: str = ATTRS
+) -> DataFrame:
     """``replace_all_matches(attributes, pattern, replacement)`` — rewrite
     every value in the bag (docs/rfcs/processing.md:190-203)."""
     return df.withColumn(
-        ATTRS,
+        attrs_col,
         F.transform_values(
-            F.col(ATTRS), lambda _, v: F.regexp_replace(v, pattern, replacement)
+            F.col(attrs_col), lambda _, v: F.regexp_replace(v, pattern, replacement)
         ),
     )
 

@@ -39,61 +39,16 @@ def enrich_stage(df: DataFrame, tool_lookup: DataFrame, role_lookup: DataFrame) 
 
 
 # --- OTTL-style attribute ops (docs/rfcs/processing.md:147-216) -------------
+# Canonical implementations live in operators/attributes.py; kept here as
+# aliases because enrichment configs compose them with the join.
 
-
-def attrs_set(df: DataFrame, key: str, value: Column, attrs_col: str = "attrs") -> DataFrame:
-    """``set(attributes["k"], v)`` — upsert one key (map_concat right wins
-    is not guaranteed in Spark, so rebuild via map_filter + concat)."""
-    cleaned = F.map_filter(F.col(attrs_col), lambda k, _: k != F.lit(key))
-    return df.withColumn(
-        attrs_col,
-        F.map_concat(cleaned, F.create_map(F.lit(key), value.cast("string"))),
-    )
-
-
-def attrs_delete(df: DataFrame, key: str, attrs_col: str = "attrs") -> DataFrame:
-    """``delete(attributes["k"])`` (pcommon.Map.Remove, pcommon/map.go:95-105)."""
-    return df.withColumn(
-        attrs_col, F.map_filter(F.col(attrs_col), lambda k, _: k != F.lit(key))
-    )
-
-
-def attrs_keep_keys(df: DataFrame, keys: list[str], attrs_col: str = "attrs") -> DataFrame:
-    """``keep_keys(attributes, [...])`` — drop everything else."""
-    keyset = F.array(*[F.lit(k) for k in keys])
-    return df.withColumn(
-        attrs_col,
-        F.map_filter(F.col(attrs_col), lambda k, _: F.array_contains(keyset, k)),
-    )
-
-
-def attrs_replace_match(
-    df: DataFrame, key: str, pattern: str, replacement: str, attrs_col: str = "attrs"
-) -> DataFrame:
-    """``replace_match(attributes["k"], pattern, replacement)`` — replace
-    the value when it matches; regex flavor is Java (JVM-side)."""
-    return df.withColumn(
-        attrs_col,
-        F.transform_values(
-            F.col(attrs_col),
-            lambda k, v: F.when(
-                (k == F.lit(key)) & v.rlike(pattern),
-                F.regexp_replace(v, pattern, replacement),
-            ).otherwise(v),
-        ),
-    )
-
-
-def attrs_replace_all_matches(
-    df: DataFrame, pattern: str, replacement: str, attrs_col: str = "attrs"
-) -> DataFrame:
-    """``replace_all_matches(attributes, pattern, replacement)``."""
-    return df.withColumn(
-        attrs_col,
-        F.transform_values(
-            F.col(attrs_col), lambda _, v: F.regexp_replace(v, pattern, replacement)
-        ),
-    )
+from opentelemetry_collector_spark.operators.attributes import (  # noqa: E402
+    delete_attr as attrs_delete,
+    keep_keys as attrs_keep_keys,
+    replace_all_matches as attrs_replace_all_matches,
+    replace_match as attrs_replace_match,
+    set_attr as attrs_set,
+)
 
 
 def attrs_from_resource(df: DataFrame, resource: Mapping[str, str], attrs_col: str = "attrs") -> DataFrame:
