@@ -503,15 +503,16 @@ def oracle_sql() -> dict[str, str]:
               SELECT id, {sqltext.SHINGLES_EXPR} AS sh
               FROM (SELECT id, {sqltext.WORDS_EXPR} AS w, text FROM docs)
             ),
-            sig AS (
-              SELECT id, list_transform(generate_series(0, 11), i ->
-                list_min(list_transform(sh, s ->
-                  md5(CAST(i AS VARCHAR) || '|' || s)))) AS mh
+            hs AS (
+              SELECT id, list_transform(sh, s -> {sqltext.SHINGLE_HASH_EXPR}) AS hs
               FROM sh
+            ),
+            sig AS (
+              SELECT id, {sqltext.minhash_sig_sql_list(12)} AS mh FROM hs
             ),
             banded AS (
               SELECT id, CAST(b AS INT) AS band,
-                     md5(array_to_string(list_slice(mh, b*3 + 1, b*3 + 3), '|')) AS key
+                     array_to_string(list_slice(mh, b*3 + 1, b*3 + 3), '|') AS key
               FROM sig, (SELECT unnest(generate_series(0, 3)) AS b)
             )
             SELECT a.id AS id_a, b.id AS id_b, count(*) AS matching_bands
@@ -548,21 +549,34 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_simhash": f"""
             WITH docs AS ({sqltext.DOCS_AUG_SQL}),
-            sig AS (
-              SELECT id, array_to_string(list_transform(generate_series(0, 31), j ->
-                CASE WHEN 2 * list_sum(list_transform(w, x ->
-                       ascii(substring(md5(x), j+1, 1)) % 2)) - len(w) > 0
-                     THEN '1' ELSE '0' END), '') AS sh
+            hx AS (
+              SELECT id, len(w) AS nw,
+                     flatten(list_transform(w, x ->
+                       list_transform(generate_series(1, 16), ci ->
+                         CASE WHEN ascii(substring(md5(x), ci, 1)) <= 57
+                              THEN ascii(substring(md5(x), ci, 1)) - 48
+                              ELSE ascii(substring(md5(x), ci, 1)) - 87 END))) AS vs
               FROM (SELECT id, {sqltext.WORDS_EXPR} AS w FROM docs)
+            ),
+            sig AS (
+              SELECT id, array_to_string(list_transform(generate_series(0, 63), j ->
+                CASE WHEN 2 * list_sum(list_transform(
+                       list_select(vs, list_transform(
+                         generate_series(0, nw - 1),
+                         wi -> wi*16 + CAST(floor(j/4) AS INT) + 1)),
+                       v -> CAST(floor(v / pow(2.0, j % 4)) AS INT) % 2))
+                     - nw > 0
+                     THEN '1' ELSE '0' END), '') AS sh
+              FROM hx
             ),
             banded AS (
               SELECT id, sh, CAST(b AS INT) AS band,
-                     substring(sh, b*8 + 1, 8) AS key
+                     substring(sh, b*16 + 1, 16) AS key
               FROM sig, (SELECT unnest(generate_series(0, 3)) AS b)
             )
             SELECT DISTINCT id_a, id_b, hamming FROM (
               SELECT a.id AS id_a, b.id AS id_b,
-                     CAST(list_sum(list_transform(generate_series(1, 32), i ->
+                     CAST(list_sum(list_transform(generate_series(1, 64), i ->
                        CASE WHEN substring(a.sh, i, 1) != substring(b.sh, i, 1)
                             THEN 1 ELSE 0 END)) AS INT) AS hamming
               FROM banded a JOIN banded b

@@ -26,13 +26,32 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from opentelemetry_collector_spark.operators.textstats import norm_text, words_col
+from opentelemetry_collector_spark.sqltext import MINHASH_COEFFS, MINHASH_P
 
 # MinHash/LSH defaults: 12 signatures = 4 bands × 3 rows → s-curve
 # threshold ≈ (1/4)^(1/3) ≈ 0.63 Jaccard.
 MINHASH_N = 12
 LSH_BANDS = 4
 LSH_ROWS = 3
-SIMHASH_BITS = 32
+# 64-bit SimHash in 4 bands of 16 bits: 65536 keys per band keeps bucket
+# occupancy ~n/65536 per band, so the candidate-pair verify stays linear.
+# (A 32-bit/8-bit-band variant has only 256 keys per band — buckets of
+# n/256 docs each make the verify quadratic in corpus size.)
+SIMHASH_BITS = 64
+
+
+def _bind_once(value: Column, body) -> Column:
+    """Evaluate ``value`` exactly once and feed it to ``body``.
+
+    Higher-order-function lambdas are interpreted (not codegen'd), and
+    Catalyst's projection collapsing can inline an aliased expression
+    into every use site — so an expensive expression (md5, split)
+    referenced N times inside a lambda would run N times per row.
+    Wrapping it as the element of a 1-element array binds it to a lambda
+    variable, which IS evaluated once. This is the single biggest
+    constant-factor lever in the signature computations below.
+    """
+    return F.element_at(F.transform(F.array(value), body), 1)
 
 
 def shingles_col(c: Column, k: int = 3) -> Column:
@@ -61,15 +80,34 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+def shingle_hash(s: Column) -> Column:
+    """Shingle → 32-bit int: first 8 hex chars of md5 (twin of
+    sqltext.SHINGLE_HASH_EXPR — conv() here equals DuckDB's 0x cast)."""
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint")
+
+
 def minhash_signature(c: Column, n_hashes: int = MINHASH_N) -> Column:
-    """Array of n minhashes: min over shingles of md5(i || '|' || s).
-    Pure array fold — signature computed at scan speed, no shuffle."""
-    sh = shingles_col(c)
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(sh, lambda s: F.md5(F.concat(i.cast("string"), F.lit("|"), s)))
-        ),
+    """Array of n minhashes: min over shingles of (a_i*h(s) + b_i) % P
+    with ONE md5 per shingle (h folded to 32 bits, then the n-hash
+    family derived by integer arithmetic — MINHASH_COEFFS shared with
+    the oracle). Pure array fold: signature at scan speed, no shuffle,
+    one digest per shingle instead of n."""
+    coeffs = MINHASH_COEFFS[:n_hashes]
+
+    def per_shingle(s: Column) -> Column:
+        # bind h once, then derive the n-vector with int ops only
+        return _bind_once(
+            shingle_hash(s),
+            lambda h: F.array(
+                *[(F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P) for a, b in coeffs]
+            ),
+        )
+
+    init = F.array_repeat(F.lit(MINHASH_P).cast("bigint"), n_hashes)
+    return F.aggregate(
+        shingles_col(c),
+        init,
+        lambda acc, s: F.zip_with(acc, per_shingle(s), lambda x, y: F.least(x, y)),
     )
 
 
@@ -94,15 +132,20 @@ def minhash_lsh_pairs(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
                     b.cast("int").alias("band"),
-                    F.md5(
-                        F.concat_ws(
-                            "|", F.slice(F.col("mh"), b * rows + 1, rows)
-                        )
+                    F.concat_ws(
+                        "|",
+                        F.transform(
+                            F.slice(F.col("mh"), b * rows + 1, rows),
+                            lambda v: v.cast("string"),
+                        ),
                     ).alias("key"),
                 ),
             )
         ).alias("bk"),
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    # self-join: persist so signatures are computed once, not per side
+    # (banded is n_docs × bands tiny rows; MEMORY_AND_DISK spills at scale)
+    banded = banded.persist()
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(
@@ -132,7 +175,7 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("id"),
         shingles_col(F.col(text_col)).alias("sh"),
     ).withColumn("n_sh", F.size("sh"))
-    posting = sh.select("id", "n_sh", F.explode("sh").alias("s"))
+    posting = sh.select("id", "n_sh", F.explode("sh").alias("s")).persist()
     # drop hot shingles (posting-list cap)
     hot = (
         posting.groupBy("s").agg(F.count(F.lit(1)).alias("n"))
@@ -164,28 +207,46 @@ def ngram_jaccard_pairs(
 
 
 def simhash_col(c: Column, bits: int = SIMHASH_BITS) -> Column:
-    """SimHash as a bit-string: bit j = majority vote over words of the
-    parity of hex digit j of md5(word). Array-fold only — constant-size
-    signature with zero shuffle (explode-free)."""
-    w = words_col(c)
-    return F.concat_ws(
-        "",
-        F.transform(
-            F.sequence(F.lit(0), F.lit(bits - 1)),
-            lambda j: F.when(
-                2
-                * F.aggregate(
-                    w,
-                    F.lit(0),
-                    lambda acc, x: acc
-                    + F.ascii(F.md5(x).substr(j + 1, F.lit(1))) % 2,
-                )
-                - F.size(w)
-                > 0,
-                F.lit("1"),
-            ).otherwise(F.lit("0")),
-        ),
-    )
+    """SimHash as a bit-string: bit j = majority vote over words of bit
+    (j % 4) of the hex-digit value of md5(word)[j // 4]. Array-fold only
+    — constant-size signature with zero shuffle (explode-free).
+
+    Single pass: ONE md5 per word split into hex chars, 4 bits unpacked
+    per char (nibble), per-word bit vectors summed with zip_with, then
+    thresholded — instead of one aggregate pass (and one md5 per word)
+    per bit. Bit definition mirrored verbatim in the DuckDB oracle."""
+    n_chars = bits // 4
+
+    def bit_vec(x: Column) -> Column:
+        # split evaluates md5 once; each hex char yields 4 bits
+        def nibble_bits(ch: Column) -> Column:
+            a = F.ascii(ch)
+            v = F.when(a <= 57, a - 48).otherwise(a - 87)  # hex value 0..15
+            return F.array(
+                *[(F.floor(v / F.lit(float(1 << k))).cast("int") % 2) for k in range(4)]
+            )
+
+        return F.flatten(
+            F.transform(F.slice(F.split(F.md5(x), ""), 1, n_chars), nibble_bits)
+        )
+
+    def body(w: Column) -> Column:
+        counts = F.aggregate(
+            w,
+            F.array_repeat(F.lit(0), bits),
+            lambda acc, x: F.zip_with(acc, bit_vec(x), lambda a, d: a + d),
+        )
+        return F.concat_ws(
+            "",
+            F.transform(
+                counts,
+                lambda cnt: F.when(2 * cnt - F.size(w) > 0, F.lit("1")).otherwise(
+                    F.lit("0")
+                ),
+            ),
+        )
+
+    return _bind_once(words_col(c), body)
 
 
 def simhash_pairs(
@@ -201,8 +262,17 @@ def simhash_pairs(
     bits = SIMHASH_BITS
     bw = bits // band_count
     sig = df.select(F.col(id_col).alias("id"), simhash_col(F.col(text_col)).alias("sh"))
+    # fold the bit-string into two 32-bit ints once, so the per-candidate
+    # Hamming distance is bit_count(xor) — codegen integer ops instead of
+    # 64 interpreted substring compares per candidate pair
+    sig = sig.select(
+        "id",
+        F.conv(F.col("sh").substr(1, 32), 2, 10).cast("bigint").alias("h1"),
+        F.conv(F.col("sh").substr(33, 32), 2, 10).cast("bigint").alias("h2"),
+        "sh",
+    )
     banded = sig.select(
-        "id", "sh",
+        "id", "h1", "h2",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(band_count - 1)),
@@ -212,15 +282,13 @@ def simhash_pairs(
                 ),
             )
         ).alias("bk"),
-    ).select("id", "sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    ).select("id", "h1", "h2", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    banded = banded.persist()  # compute signatures once, not per join side
     a, b = banded.alias("a"), banded.alias("b")
-    hamming = F.size(
-        F.filter(
-            F.sequence(F.lit(1), F.lit(bits)),
-            lambda i: F.col("a.sh").substr(i, F.lit(1))
-            != F.col("b.sh").substr(i, F.lit(1)),
-        )
-    )
+    hamming = (
+        F.bit_count(F.col("a.h1").bitwiseXOR(F.col("b.h1")))
+        + F.bit_count(F.col("a.h2").bitwiseXOR(F.col("b.h2")))
+    ).cast("int")
     return (
         a.join(
             b,

@@ -218,3 +218,25 @@ SHINGLES_EXPR = (
     "generate_series(0, greatest(len(w) - 3, 0)), "
     "i -> concat_ws(' ', w[i+1], w[i+2], w[i+3])))"
 )
+
+# MinHash family shared by Spark and the oracle: ONE md5 per shingle
+# folded to a 32-bit int (first 8 hex chars), then n derived hashes via
+# (a_i*h + b_i) mod P — int64-safe (a_i < 2^30, h < 2^32 → product
+# < 2^62) and byte-identical in both engines. 12× fewer md5 calls than
+# hashing (i, shingle) pairs, which dominates signature cost.
+MINHASH_P = (1 << 61) - 1
+MINHASH_COEFFS = [
+    ((2654435761 * (i + 1)) % (1 << 30) | 1, (40503 * (i + 7)) % (1 << 30))
+    for i in range(12)
+]
+
+# h(s): shingle → 32-bit int, identical in Spark (conv) and DuckDB (0x cast)
+SHINGLE_HASH_EXPR = "CAST(concat('0x', substring(md5(s), 1, 8)) AS BIGINT)"
+
+
+def minhash_sig_sql_list(n_hashes: int = 12) -> str:
+    """DuckDB list literal: [min_s (a_i*h(s)+b_i) % P for i in 0..n)."""
+    return "[" + ", ".join(
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {MINHASH_P}))"
+        for a, b in MINHASH_COEFFS[:n_hashes]
+    ) + "]"
