@@ -184,6 +184,67 @@ def q_render_asstring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_parse_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarantine taxonomy (F7): deterministically corrupt every 13th
+    turn's text, parse, and classify the failures — permanent-error rows
+    stay addressable instead of being dropped."""
+    t = _transcripts(spark, sf_dir).withColumn(
+        "text",
+        F.when(
+            F.col("turn_idx") % 13 == 0,
+            F.regexp_replace("text", " status=", " st="),
+        ).otherwise(F.col("text")),
+    )
+    parsed = parse_ops.parse_stage(t, with_attrs=False)
+    _, bad = parse_ops.quarantine_split(parsed)
+    return bad.select(
+        "conv_id", "turn_idx", "severity_num",
+        F.when(F.col("seq").isNull() & F.col("status_code").isNull(), "no_seq_no_status")
+        .when(F.col("seq").isNull(), "no_seq")
+        .otherwise("no_status")
+        .alias("reason"),
+    )
+
+
+def q_otlp_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OTLP/JSON wire round-trip (S2 JSON variant; pdata/plog/json.go):
+    encode each turn as an OTLP-shaped LogRecord JSON (timeUnixNano as a
+    string per the protobuf-JSON mapping of uint64), then decode with
+    from_json and return the decoded fields. The wire string is built
+    with concat identically in Spark and DuckDB so both engines decode
+    byte-identical input. (Payload text is quote-free by construction;
+    full JSON escaping is the engine encoder's job in production.)"""
+    df = _parsed(spark, sf_dir)
+    sev_text = (
+        F.when(F.col("severity_num") == 17, "ERROR")
+        .when(F.col("severity_num") == 13, "WARN")
+        .when(F.col("severity_num") == 9, "INFO")
+        .otherwise("")
+    )
+    wire = F.concat(
+        F.lit('{"timeUnixNano":"'),
+        (F.unix_timestamp("ts").cast("bigint") * F.lit(1000000000)).cast("string"),
+        F.lit('","severityNumber":'), F.col("severity_num").cast("string"),
+        F.lit(',"severityText":"'), sev_text,
+        F.lit('","body":{"stringValue":"'), F.col("text"),
+        F.lit('"},"eventName":"'), F.col("event_kind"), F.lit('"}'),
+    )
+    schema = (
+        "timeUnixNano string, severityNumber int, severityText string, "
+        "body struct<stringValue:string>, eventName string"
+    )
+    dec = F.from_json(wire, schema)
+    return df.select(
+        "conv_id", "turn_idx",
+        dec["timeUnixNano"].cast("bigint").alias("ts_unix_nano"),
+        dec["severityNumber"].alias("severity_number"),
+        dec["severityText"].alias("severity_text"),
+        dec["body"]["stringValue"].alias("body_text"),
+        dec["eventName"].alias("event_name"),
+        (dec["body"]["stringValue"] == F.col("text")).alias("roundtrip_ok"),
+    )
+
+
 def q_turn_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stable turn-order window + no-loss/no-dup density check."""
     from opentelemetry_collector_spark.operators import windows
@@ -194,6 +255,16 @@ def q_turn_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from opentelemetry_collector_spark.operators import windows
     return windows.conversation_stats(_transcripts(spark, sf_dir))
+
+
+def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opentelemetry_collector_spark.operators import windows
+    return windows.sliding_window_counts(_transcripts(spark, sf_dir))
+
+
+def q_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opentelemetry_collector_spark.operators import windows
+    return windows.session_window_stats(_transcripts(spark, sf_dir))
 
 
 def q_top_convs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -324,8 +395,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attrs_json": q_attrs_json,
         "debug_normal": q_debug_normal,
         "render_asstring": q_render_asstring,
+        "parse_errors": q_parse_errors,
+        "otlp_json": q_otlp_json,
         "turn_order": q_turn_order,
         "conv_stats": q_conv_stats,
+        "window_sliding": q_window_sliding,
+        "window_session": q_window_session,
         "top_convs": q_top_convs,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -458,6 +533,56 @@ def oracle_sql() -> dict[str, str]:
                    to_base64(unhex(md5(text))) AS digest_b64
             FROM parsed
         """,
+        "parse_errors": f"""
+            {t},
+            corrupted AS (
+              SELECT conv_id, turn_idx, role,
+                     CASE WHEN turn_idx % 13 = 0
+                          THEN regexp_replace(text, ' status=', ' st=')
+                          ELSE text END AS text,
+                     tool, ts
+              FROM transcripts
+            ),
+            cp AS (
+              SELECT conv_id, turn_idx,
+                CAST(nullif(regexp_extract(text, '[RESEQ]', 1), '') AS BIGINT) AS seq,
+                CAST(nullif(regexp_extract(text, '[RESTATUS]', 1), '') AS INT) AS status_code
+              FROM corrupted
+            )
+            SELECT conv_id, turn_idx,
+                   CASE WHEN status_code >= 500 THEN 17
+                        WHEN status_code >= 400 THEN 13
+                        WHEN status_code >= 200 THEN 9 ELSE 0 END AS severity_num,
+                   CASE WHEN seq IS NULL AND status_code IS NULL THEN 'no_seq_no_status'
+                        WHEN seq IS NULL THEN 'no_seq'
+                        ELSE 'no_status' END AS reason
+            FROM cp
+            WHERE seq IS NULL OR status_code IS NULL
+        """.replace('[RESEQ]', sqltext.RE_SEQ).replace('[RESTATUS]', sqltext.RE_STATUS),
+        "otlp_json": f"""
+            {p},
+            wire AS (
+              SELECT conv_id, turn_idx, text,
+                     '{{"timeUnixNano":"' ||
+                     CAST(CAST(floor(epoch(ts)) AS BIGINT) * 1000000000 AS VARCHAR) ||
+                     '","severityNumber":' || CAST(severity_num AS VARCHAR) ||
+                     ',"severityText":"' ||
+                     (CASE WHEN severity_num = 17 THEN 'ERROR'
+                           WHEN severity_num = 13 THEN 'WARN'
+                           WHEN severity_num = 9 THEN 'INFO' ELSE '' END) ||
+                     '","body":{{"stringValue":"' || text ||
+                     '"}},"eventName":"' || event_kind || '"}}' AS j
+              FROM parsed
+            )
+            SELECT conv_id, turn_idx,
+                   CAST(json_extract_string(j, '$.timeUnixNano') AS BIGINT) AS ts_unix_nano,
+                   CAST(json_extract(j, '$.severityNumber') AS INT) AS severity_number,
+                   json_extract_string(j, '$.severityText') AS severity_text,
+                   json_extract_string(j, '$.body.stringValue') AS body_text,
+                   json_extract_string(j, '$.eventName') AS event_name,
+                   (json_extract_string(j, '$.body.stringValue') = text) AS roundtrip_ok
+            FROM wire
+        """,
         "turn_order": f"""
             {t}
             SELECT conv_id, turn_idx,
@@ -478,6 +603,45 @@ def oracle_sql() -> dict[str, str]:
                    max(ts) AS last_ts,
                    CAST(sum(length(text)) AS BIGINT) AS bytes_sum
             FROM transcripts GROUP BY 1
+        """,
+        "window_sliding": f"""
+            {t},
+            arms AS (
+              SELECT tool,
+                     CAST(to_timestamp(floor(epoch(ts) / 1800) * 1800)
+                          AS TIMESTAMP) AS g
+              FROM transcripts
+            ),
+            starts AS (
+              SELECT tool, g AS window_start FROM arms
+              UNION ALL
+              SELECT tool, g - INTERVAL 30 MINUTE AS window_start FROM arms
+            )
+            SELECT window_start,
+                   window_start + INTERVAL 1 HOUR AS window_end,
+                   tool, count(*) AS turn_count
+            FROM starts GROUP BY 1, 2, 3
+        """,
+        "window_session": f"""
+            {t},
+            ordered AS (
+              SELECT conv_id, ts, turn_idx,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_s
+              FROM transcripts
+              WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+            ),
+            sess AS (
+              SELECT *, sum(new_s) OVER (
+                PARTITION BY conv_id ORDER BY ts, turn_idx
+                ROWS UNBOUNDED PRECEDING) AS sid
+              FROM ordered
+            )
+            SELECT conv_id, min(ts) AS session_start,
+                   count(*) AS n_turns,
+                   min(turn_idx) AS first_turn, max(turn_idx) AS last_turn
+            FROM sess GROUP BY conv_id, sid
         """,
         "top_convs": f"""
             {t},

@@ -48,6 +48,50 @@ def conversation_stats(df: DataFrame) -> DataFrame:
     )
 
 
+def sliding_window_counts(
+    df: DataFrame, size: str = "1 hour", slide: str = "30 minutes"
+) -> DataFrame:
+    """Sliding-window accounting: each turn lands in size/slide
+    overlapping windows (``window()`` in batch mode — same operator the
+    streaming variant uses with a watermark). Counts per (window, tool).
+    """
+    w = F.window("ts", size, slide)
+    return (
+        df.groupBy(w.alias("w"), "tool")
+        .agg(F.count(F.lit(1)).alias("turn_count"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "tool", "turn_count",
+        )
+    )
+
+
+def session_window_stats(df: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows per conversation: turns closer than ``gap`` merge
+    into one session (``session_window`` — the stateful streaming
+    operator, exact in batch mode). Sessionization is THE conversation
+    analytic the hourly grid can't express: a session's extent follows
+    the data, not the clock.
+
+    Scale: session_window groups by (session, conv_id) after a shuffle
+    on conv_id — the same partitioning the rest of the pipeline uses.
+    """
+    return (
+        df.groupBy(F.session_window("ts", gap).alias("w"), F.col("conv_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.min("turn_idx").alias("first_turn"),
+            F.max("turn_idx").alias("last_turn"),
+        )
+        .select(
+            "conv_id",
+            F.col("w.start").alias("session_start"),
+            "n_turns", "first_turn", "last_turn",
+        )
+    )
+
+
 def top_conversations(df: DataFrame, k: int = 10) -> DataFrame:
     """Top-k conversations by turn count, conv_id tiebreak.
 
