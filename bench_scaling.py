@@ -69,6 +69,9 @@ N_TURNS = N_CONVERSATIONS * MEAN_TURNS + HOT_CONVERSATIONS * HOT_TURNS
 REPEATS = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "3"))
 ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "2"))
 SPIN_SECS = float(os.environ.get("SPARK_GRAFT_SCALE_SPIN_SECS", "3"))
+# ≥2 warmups: pass 1 compiles codegen AND faults the parquet input into
+# the page cache; pass 2 exercises the JIT-compiled steady state.
+WARMUPS = int(os.environ.get("SPARK_GRAFT_SCALE_WARMUPS", "2"))
 
 
 def _level(which: str) -> dict:
@@ -169,11 +172,11 @@ def worker(which: str, src: str) -> None:
     agg = _pipeline(spark, src)
     secs = []
     mops = []
-    for i in range(REPEATS + 1):  # first pass is warmup (codegen + JIT)
+    for i in range(REPEATS + WARMUPS):  # warmups: codegen+JIT+page cache
         t0 = time.monotonic()
         agg.write.format("noop").mode("overwrite").save()
         dt = time.monotonic() - t0
-        if i == 0:
+        if i < WARMUPS:
             continue
         secs.append(dt)
         mops.append(spin_mops(lvl["cores"]))  # paired weather probe
@@ -244,7 +247,7 @@ deterministic synthetic turns materialized once to {INPUT_PARTITIONS}
 parquet files, {SHUFFLE_PARTITIONS} shuffle partitions, skewed hot
 conversations included) at two parallelism levels in fresh JVMs
 (`python bench_scaling.py`; medians over {REPEATS * ROUNDS} timed passes
-per level, alternating A-B-A-B rounds, one warmup pass per JVM).
+per level, alternating A-B-A-B rounds, {WARMUPS} warmup passes per JVM).
 
 This sandbox is a **shared virtualized host**: deliverable CPU varies
 minute to minute, so each timed pass is paired with an immediate

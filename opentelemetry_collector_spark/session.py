@@ -39,6 +39,14 @@ _DEFAULTS = {
     # Local-mode niceties; harmless under a real cluster manager.
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+    # Throughput GC: this is a batch engine — no latency SLO on any JVM.
+    # Measured on the flagship pipeline at 19M turns: ParallelGC beats
+    # the G1 default by ~28% wall at local[32] (5.9s vs 8.2s) and ~6% at
+    # local[8]; string-heavy parse allocates hard and G1's pause-target
+    # heuristics throttle it. Driver option covers local mode (driver ==
+    # executor); executor option covers real clusters.
+    "spark.driver.extraJavaOptions": "-XX:+UseParallelGC",
+    "spark.executor.extraJavaOptions": "-XX:+UseParallelGC",
 }
 
 
