@@ -375,7 +375,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from opentelemetry_collector_spark.operators import textstats
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return textstats.fingerprint(docs).select("doc_id", "fp_exact", "fp_bag")
+    return textstats.fingerprint(docs).select("doc_id", "fp_exact", "fp_bag", "fp_roll")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -853,7 +853,13 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": f"""
             SELECT doc_id,
                    md5(lower(trim(text))) AS fp_exact,
-                   md5(array_to_string(list_sort(list_distinct({sqltext.WORDS_EXPR})), ' ')) AS fp_bag
+                   md5(array_to_string(list_sort(list_distinct({sqltext.WORDS_EXPR})), ' ')) AS fp_bag,
+                   list_reduce(
+                     list_prepend(CAST(0 AS BIGINT),
+                       list_transform({sqltext.WORDS_EXPR}, x ->
+                         CAST(concat('0x', substring(md5(x), 1, 8)) AS BIGINT)
+                           % 2147483647)),
+                     (acc, x) -> (acc * 1000003 + x) % 2147483647) AS fp_roll
             FROM documents
         """,
     }

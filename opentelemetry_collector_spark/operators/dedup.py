@@ -184,8 +184,21 @@ def ngram_jaccard_pairs(
     )
     posting = posting.join(F.broadcast(hot), "s", "left_anti")
     a, b = posting.alias("a"), posting.alias("b")
+    # Lossless size-ratio pruning (AllPairs/PPJoin length filter):
+    # J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so any pair with size ratio
+    # below the threshold cannot reach it — drop those candidates inside
+    # the join. Cuts the candidate aggregation hard on template-heavy
+    # corpora where many docs share shingles but differ in length.
+    size_ok = (F.col("a.n_sh") >= threshold * F.col("b.n_sh")) & (
+        F.col("b.n_sh") >= threshold * F.col("a.n_sh")
+    )
     inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.id") < F.col("b.id"))
+            & size_ok,
+        )
         .groupBy(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),

@@ -98,15 +98,39 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumns({"lang_guess": best_lang, "lang_guess_hits": best_hits})
 
 
+# Polynomial rolling-hash constants, shared verbatim with the DuckDB
+# oracle: base/modulus sized so acc*B + h stays far inside int64
+# (acc < 2^31, B < 2^20 → product < 2^51).
+ROLL_B = 1_000_003
+ROLL_P = 2_147_483_647
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Document fingerprints: full-content md5 over normalized text plus
-    a word-order-insensitive variant (md5 of sorted distinct tokens) —
-    the rolling-hash shingle fingerprint lives in dedup.py."""
+    """Document fingerprints:
+
+    * ``fp_exact`` — md5 of normalized text (order- and spacing-exact);
+    * ``fp_bag``   — md5 of sorted distinct tokens (order-insensitive);
+    * ``fp_roll``  — polynomial rolling hash over the token stream
+      (order-sensitive, incrementally updatable: appending a turn to a
+      conversation is O(1) given the previous hash — the property that
+      makes it the fingerprint for streaming/append-only corpora).
+    """
     t = norm_text(F.col(text_col))
     w = words_col(F.col(text_col))
+    hs = F.transform(
+        w,
+        lambda x: F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("bigint")
+        % F.lit(ROLL_P),
+    )
+    roll = F.aggregate(
+        hs,
+        F.lit(0).cast("bigint"),
+        lambda acc, x: (acc * F.lit(ROLL_B) + x) % F.lit(ROLL_P),
+    )
     return df.withColumns(
         {
             "fp_exact": F.md5(t),
             "fp_bag": F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(w)))),
+            "fp_roll": roll,
         }
     )
