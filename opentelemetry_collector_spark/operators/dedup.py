@@ -55,16 +55,24 @@ def _bind_once(value: Column, body) -> Column:
 
 
 def shingles_col(c: Column, k: int = 3) -> Column:
-    """Distinct k-word shingles as an array column (no explode)."""
-    w = words_col(c)
-    # F.get is 0-based and null-safe (ANSI-proof for docs shorter than k);
-    # concat_ws skips NULLs.
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(w) - k, F.lit(0))),
-            lambda i: F.concat_ws(" ", *[F.get(w, i + j) for j in range(k)]),
+    """Distinct k-word shingles as an array column (no explode).
+
+    The words array is bound once (_bind_once): referencing the split
+    expression directly inside the lambda would re-run the split on
+    every F.get — ~3 per shingle position — in the interpreted HOF path
+    (measured 10s → ~1s for 6k docs at sf0.1)."""
+
+    def body(w: Column) -> Column:
+        # F.get is 0-based and null-safe (ANSI-proof for docs shorter
+        # than k); concat_ws skips NULLs.
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(w) - k, F.lit(0))),
+                lambda i: F.concat_ws(" ", *[F.get(w, i + j) for j in range(k)]),
+            )
         )
-    )
+
+    return _bind_once(words_col(c), body)
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
