@@ -245,6 +245,19 @@ def q_otlp_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_union_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-sink union (R5): two routes targeting one physical table
+    union rather than double-write (graph.go:213-248 node dedup)."""
+    routed = route_ops.route_stage(_parsed(spark, sf_dir).filter(F.col("parse_ok")))
+    web = routed.filter(F.col("route") == "sink_search").unionByName(
+        routed.filter(F.col("route") == "sink_browser")
+    )
+    return web.groupBy("tool").agg(
+        F.count(F.lit(1)).alias("row_count"),
+        F.countDistinct("conv_id").cast("int").alias("n_convs"),
+    )
+
+
 def q_turn_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stable turn-order window + no-loss/no-dup density check."""
     from opentelemetry_collector_spark.operators import windows
@@ -397,6 +410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "render_asstring": q_render_asstring,
         "parse_errors": q_parse_errors,
         "otlp_json": q_otlp_json,
+        "union_sinks": q_union_sinks,
         "turn_order": q_turn_order,
         "conv_stats": q_conv_stats,
         "window_sliding": q_window_sliding,
@@ -582,6 +596,14 @@ def oracle_sql() -> dict[str, str]:
                    json_extract_string(j, '$.eventName') AS event_name,
                    (json_extract_string(j, '$.body.stringValue') = text) AS roundtrip_ok
             FROM wire
+        """,
+        "union_sinks": f"""
+            {p}
+            SELECT tool, count(*) AS row_count,
+                   CAST(count(DISTINCT conv_id) AS INT) AS n_convs
+            FROM parsed
+            WHERE parse_ok AND tool IN ('search', 'browser')
+            GROUP BY tool
         """,
         "turn_order": f"""
             {t}
