@@ -212,9 +212,17 @@ def q_otlp_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     string per the protobuf-JSON mapping of uint64), then decode with
     from_json and return the decoded fields. The wire string is built
     with concat identically in Spark and DuckDB so both engines decode
-    byte-identical input. (Payload text is quote-free by construction;
-    full JSON escaping is the engine encoder's job in production.)"""
+    byte-identical input. String payloads are JSON-escaped (backslash
+    then quote — literal replace, same order both engines), so quotes
+    and backslashes in text survive the round-trip instead of NULLing
+    the decode."""
     df = _parsed(spark, sf_dir)
+
+    def esc(c):
+        return F.replace(
+            F.replace(c, F.lit("\\"), F.lit("\\\\")), F.lit('"'), F.lit('\\"')
+        )
+
     sev_text = (
         F.when(F.col("severity_num") == 17, "ERROR")
         .when(F.col("severity_num") == 13, "WARN")
@@ -226,8 +234,8 @@ def q_otlp_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_timestamp("ts").cast("bigint") * F.lit(1000000000)).cast("string"),
         F.lit('","severityNumber":'), F.col("severity_num").cast("string"),
         F.lit(',"severityText":"'), sev_text,
-        F.lit('","body":{"stringValue":"'), F.col("text"),
-        F.lit('"},"eventName":"'), F.col("event_kind"), F.lit('"}'),
+        F.lit('","body":{"stringValue":"'), esc(F.col("text")),
+        F.lit('"},"eventName":"'), esc(F.col("event_kind")), F.lit('"}'),
     )
     schema = (
         "timeUnixNano string, severityNumber int, severityText string, "
@@ -584,8 +592,11 @@ def oracle_sql() -> dict[str, str]:
                      (CASE WHEN severity_num = 17 THEN 'ERROR'
                            WHEN severity_num = 13 THEN 'WARN'
                            WHEN severity_num = 9 THEN 'INFO' ELSE '' END) ||
-                     '","body":{{"stringValue":"' || text ||
-                     '"}},"eventName":"' || event_kind || '"}}' AS j
+                     '","body":{{"stringValue":"' ||
+                     replace(replace(text, '\', '\\'), '"', '\"') ||
+                     '"}},"eventName":"' ||
+                     replace(replace(event_kind, '\', '\\'), '"', '\"') ||
+                     '"}}' AS j
               FROM parsed
             )
             SELECT conv_id, turn_idx,

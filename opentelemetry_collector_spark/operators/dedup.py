@@ -18,12 +18,82 @@ Scale design (the whole point of each variant):
 
 All hashing is md5-based so the DuckDB oracle reproduces results
 bit-for-bit; no RNG anywhere.
+
+Every candidate-generation path bounds its bucket cardinality: the
+n-gram inverted index caps posting lists (``max_posting``), and the
+LSH / SimHash band joins and the embedding cell join cap bucket/cell
+membership (``max_bucket`` / ``max_cell``) — a degenerate key (empty or
+templated docs hashing to one band key, a hot k-means cell) is
+quadratic *within its bucket*, so at web scale one bad key can
+dominate the whole job. Dropped buckets are counted and logged, never
+silent (a doc in a >cap bucket is stopword-ish/templated and carries
+no dedup signal — same argument as the posting cap).
+
+The pair functions persist their banded/posting intermediates so the
+self-join computes signatures once, not per side; because they return
+lazy DataFrames there is no in-function release point. Cached handles
+are tracked module-wide — long-lived sessions should call
+:func:`release_cached` after materializing results (tests/bench do).
 """
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+logger = logging.getLogger(__name__)
+
+_PERSISTED: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    """persist + register for release_cached()."""
+    df = df.persist()
+    _PERSISTED.append(df)
+    return df
+
+
+def release_cached() -> int:
+    """Unpersist every intermediate cached by the pair functions in this
+    process; returns how many were released. Call after materializing
+    pair results in a long-lived session (the cached blocks are otherwise
+    held until session end)."""
+    n = 0
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
+        n += 1
+    return n
+
+
+def _cap_buckets(
+    keyed: DataFrame, key_cols: list[str], max_bucket: int, what: str
+) -> DataFrame:
+    """Drop bucket keys whose membership exceeds ``max_bucket`` (the
+    posting-list cap generalized to band/cell joins). The hot-key set is
+    tiny by construction (keys with >max_bucket members), so it
+    broadcast-anti-joins against the full keyed set — no shuffle added.
+    Logged, never silent."""
+    if max_bucket is None or max_bucket <= 0:
+        return keyed
+    hot = (
+        keyed.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > max_bucket)
+        .persist()
+    )
+    n_hot = hot.count()  # one pass over the (persisted) keyed set
+    if n_hot:
+        total = hot.agg(F.sum("n")).collect()[0][0]
+        logger.warning(
+            "%s: dropped %d bucket key(s) over cap %d (%d member rows) — "
+            "degenerate keys carry no dedup signal", what, n_hot, max_bucket, total
+        )
+        _PERSISTED.append(hot)  # referenced by the returned lazy plan
+        return keyed.join(F.broadcast(hot.select(*key_cols)), key_cols, "left_anti")
+    hot.unpersist()
+    return keyed
 
 from opentelemetry_collector_spark.operators.textstats import norm_text, words_col
 from opentelemetry_collector_spark.sqltext import MINHASH_COEFFS, MINHASH_P
@@ -125,10 +195,13 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     bands: int = LSH_BANDS,
     rows: int = LSH_ROWS,
+    max_bucket: int = 10_000,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash: docs agreeing on all
     ``rows`` minhashes of any band share a bucket. Returns distinct
-    (id_a < id_b) pairs with the number of matching bands."""
+    (id_a < id_b) pairs with the number of matching bands. Band buckets
+    larger than ``max_bucket`` are dropped (logged) before the self-join
+    — see the module docstring's degenerate-key argument."""
     sig = df.select(
         F.col(id_col).alias("id"),
         minhash_signature(F.col(text_col), bands * rows).alias("mh"),
@@ -153,7 +226,8 @@ def minhash_lsh_pairs(
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     # self-join: persist so signatures are computed once, not per side
     # (banded is n_docs × bands tiny rows; MEMORY_AND_DISK spills at scale)
-    banded = banded.persist()
+    banded = _persist(banded)
+    banded = _cap_buckets(banded, ["band", "key"], max_bucket, "minhash_lsh_pairs")
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(
@@ -183,7 +257,7 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("id"),
         shingles_col(F.col(text_col)).alias("sh"),
     ).withColumn("n_sh", F.size("sh"))
-    posting = sh.select("id", "n_sh", F.explode("sh").alias("s")).persist()
+    posting = _persist(sh.select("id", "n_sh", F.explode("sh").alias("s")))
     # drop hot shingles (posting-list cap)
     hot = (
         posting.groupBy("s").agg(F.count(F.lit(1)).alias("n"))
@@ -276,10 +350,12 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     band_count: int = 4,
+    max_bucket: int = 10_000,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: candidates share one of ``band_count``
     signature bands (pigeonhole: hamming ≤ bands-1 guarantees a shared
-    band), verified by exact Hamming distance."""
+    band), verified by exact Hamming distance. Band buckets larger than
+    ``max_bucket`` are dropped (logged) before the self-join."""
     bits = SIMHASH_BITS
     bw = bits // band_count
     sig = df.select(F.col(id_col).alias("id"), simhash_col(F.col(text_col)).alias("sh"))
@@ -304,7 +380,8 @@ def simhash_pairs(
             )
         ).alias("bk"),
     ).select("id", "h1", "h2", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    banded = banded.persist()  # compute signatures once, not per join side
+    banded = _persist(banded)  # compute signatures once, not per join side
+    banded = _cap_buckets(banded, ["band", "key"], max_bucket, "simhash_pairs")
     a, b = banded.alias("a"), banded.alias("b")
     hamming = (
         F.bit_count(F.col("a.h1").bitwiseXOR(F.col("b.h1")))
@@ -333,10 +410,14 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     cell_col: str = "label",
     threshold: float = 0.99,
+    max_cell: int = 10_000,
 ) -> DataFrame:
-    """Embedding-cosine near-dup within a coarse cell (label here; a
-    broadcast k-means assignment at scale) — the join is cell-local,
-    never all-pairs."""
+    """Embedding-cosine near-dup within a coarse cell (label here, or
+    the deterministic k-means assignment of similarity.kmeans_cells at
+    scale) — the join is cell-local, never all-pairs. Cells larger than
+    ``max_cell`` are dropped (logged): a hot cell is quadratic within
+    itself, and at web scale one collapsed cell (all-zero embeddings,
+    a template cluster) would dominate the job."""
     from opentelemetry_collector_spark.operators.similarity import cosine_expr
 
     v = df.select(
@@ -344,6 +425,8 @@ def embedding_neardup_pairs(
         F.col(cell_col).alias("cell"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
+    v = _persist(v)
+    v = _cap_buckets(v, ["cell"], max_cell, "embedding_neardup_pairs")
     a, b = v.alias("a"), v.alias("b")
     cos = cosine_expr(F.col("a.v"), F.col("b.v"))
     return (

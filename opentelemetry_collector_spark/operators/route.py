@@ -64,16 +64,28 @@ def fan_out(
     service/internal/obsconsumer/logs.go:53-70). The cache bounds total
     work at one materialization + N column-pruned filtered reads; on a
     real cluster use MEMORY_AND_DISK (the default persist level).
+
+    The count rides the sink's own action via the Observation API (the
+    same pattern as plans/pipeline._write_counted) — one pass per sink,
+    not a write pass plus a count pass. ``sink_fn`` must therefore run
+    exactly one Spark action on the DataFrame it is given (a write, a
+    count, a collect — anything that materializes it); ``Observation.get``
+    blocks until that action completes.
     """
+    from pyspark.sql import Observation
+
     sinks = sinks or SINK_NAMES
     if cache:
         routed = routed.persist()
     try:
         counts: dict[str, int] = {}
         for s in sinks:
-            branch = routed.filter(F.col("route") == s)
+            obs = Observation(f"fanout_{s}")
+            branch = routed.filter(F.col("route") == s).observe(
+                obs, F.count(F.lit(1)).alias("n")
+            )
             sink_fn(s, branch)
-            counts[s] = branch.count()
+            counts[s] = obs.get["n"]
         return counts
     finally:
         if cache:

@@ -95,12 +95,25 @@ def session_window_stats(df: DataFrame, gap: str = "30 minutes") -> DataFrame:
 def top_conversations(df: DataFrame, k: int = 10) -> DataFrame:
     """Top-k conversations by turn count, conv_id tiebreak.
 
-    Aggregate first (map-side combine → one row per conversation), rank
-    the already-small aggregate — the global window runs over conv-level
-    rows, not turns, so it stays cheap at 10^12-turn scale."""
+    Aggregate first (map-side combine → one row per conversation), then
+    take the top k with ``orderBy().limit(k)`` — Spark plans that as a
+    distributed ``TakeOrderedAndProject`` (each partition keeps its local
+    top-k; the driver merges k·P candidate rows), so no single task ever
+    sees the full conversation-level row set even at billions of
+    conversations. Rank is then derived on the ≤k-row result by a k×k
+    self-join count of strictly-earlier rows (k² ≤ 100 comparisons) —
+    no WindowExec anywhere in the plan, so nothing ever asks Spark for
+    a global single-partition sort."""
+    order = [F.col("n_turns").desc(), F.col("conv_id").asc()]
     counts = df.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_turns"))
-    w = Window.orderBy(F.col("n_turns").desc(), F.col("conv_id").asc())
+    topk = counts.orderBy(*order).limit(k)
+    t, u = topk.alias("t"), topk.alias("u")
+    earlier = (F.col("u.n_turns") > F.col("t.n_turns")) | (
+        (F.col("u.n_turns") == F.col("t.n_turns"))
+        & (F.col("u.conv_id") < F.col("t.conv_id"))
+    )
     return (
-        counts.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= k)
+        t.crossJoin(u)
+        .groupBy(F.col("t.conv_id").alias("conv_id"), F.col("t.n_turns").alias("n_turns"))
+        .agg((F.sum(earlier.cast("int")) + 1).cast("int").alias("rank"))
     )

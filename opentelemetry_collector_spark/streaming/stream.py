@@ -90,16 +90,26 @@ def windowed_accounting(routed: DataFrame, watermark: str = "2 hours",
     )
 
 
-def route_sink_writer(warehouse: str):
+def route_sink_writer(warehouse: str, sinks: list[str] | None = None):
     """foreachBatch fan-out: per-micro-batch routed append to per-sink
     tables (fanoutconsumer per micro-batch; Spark's offset log + this
-    append being idempotent per epoch gives effectively-once)."""
+    append being idempotent per epoch gives effectively-once).
+
+    The route domain is static (``sqltext.SINK_NAMES`` — the configured
+    exporter set, exactly like the reference's fanout consumer is built
+    from the config graph, not discovered from data), so the writer
+    iterates that list: zero driver round-trips per micro-batch. The
+    previous ``select("route").distinct().collect()`` added a full
+    extra aggregation + driver sync to every micro-batch in the hot
+    path for information the config already holds."""
+    from opentelemetry_collector_spark.sqltext import SINK_NAMES
+
+    sink_list = sinks or SINK_NAMES
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         batch_df.persist()
         try:
-            for row in batch_df.select("route").distinct().collect():
-                sink = row["route"]
+            for sink in sink_list:
                 (
                     batch_df.filter(F.col("route") == sink)
                     .write.mode("append")

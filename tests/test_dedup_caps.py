@@ -1,0 +1,81 @@
+"""Bucket/cell cardinality guards on the dedup candidate joins.
+
+A degenerate corpus (many near-identical docs hashing to one band key /
+one cell) makes the within-bucket self-join quadratic; the caps bound
+candidate counts and must (a) fire on degenerate input, (b) never fire
+at oracle scale (sf0.01 corpora — the oracle parity suite covers that
+side). Mirrors the posting-list cap the n-gram path always had
+(ngram_jaccard_pairs max_posting).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_spark.operators import aggregate as agg_ops
+from opentelemetry_collector_spark.operators import dedup
+
+
+def _degenerate_docs(spark, n=40):
+    # identical text ⇒ every doc shares every LSH/SimHash band bucket
+    return spark.range(n).select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.lit("the same templated document body repeated verbatim").alias("text"),
+    )
+
+
+def test_lsh_cap_bounds_candidates(spark):
+    docs = _degenerate_docs(spark)
+    uncapped = dedup.minhash_lsh_pairs(docs, max_bucket=0)  # 0 = disabled
+    assert uncapped.count() == 40 * 39 // 2
+    capped = dedup.minhash_lsh_pairs(docs, max_bucket=10)
+    assert capped.count() == 0
+    dedup.release_cached()
+
+
+def test_simhash_cap_bounds_candidates(spark):
+    docs = _degenerate_docs(spark)
+    uncapped = dedup.simhash_pairs(docs, max_bucket=0)
+    assert uncapped.count() == 40 * 39 // 2
+    capped = dedup.simhash_pairs(docs, max_bucket=10)
+    assert capped.count() == 0
+    dedup.release_cached()
+
+
+def test_embedding_cell_cap(spark):
+    rows = [(str(i), "hot", [1.0, 0.0, 0.0]) for i in range(30)] + [
+        ("a", "cold", [0.0, 1.0, 0.0]),
+        ("b", "cold", [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id string, label string, embedding array<float>")
+    pairs = dedup.embedding_neardup_pairs(df, max_cell=10)
+    # hot cell dropped entirely; cold cell (2 members) survives the cap
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got == {("a", "b")}
+    dedup.release_cached()
+
+
+def test_release_cached_empties_registry(spark):
+    docs = _degenerate_docs(spark, n=5)
+    dedup.minhash_lsh_pairs(docs).count()
+    assert dedup.release_cached() >= 1
+    assert dedup.release_cached() == 0
+
+
+def test_role_bit_nulls_match_count_distinct(spark):
+    df = spark.createDataFrame(
+        [("c1", None, "t", "x", 1), ("c1", None, "t", "x", 2),
+         ("c2", "user", "t", "x", 1), ("c2", None, "t", "x", 2)],
+        "conv_id string, role string, tool string, text string, turn_idx int",
+    ).withColumn("ts", F.to_timestamp(F.lit("2025-01-01 00:00:00")))
+    fast = {
+        r.conv_id: r.distinct_roles
+        for r in agg_ops.hourly_sink_accounting(df, with_route=False).collect()
+    }
+    exact = {
+        r.conv_id: r.distinct_roles
+        for r in agg_ops.hourly_sink_accounting(
+            df, with_route=False, exact_distinct=True
+        ).collect()
+    }
+    assert fast == exact == {"c1": 0, "c2": 1}
