@@ -253,6 +253,18 @@ def q_otlp_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition lineage grid (A6 / the north rule's checkpoint-table
+    contract): rows + payload bytes per (route, deterministic conv_id
+    partition) — exactly the aggregation plans/pipeline.run_pipeline
+    commits to the ``lineage`` warehouse table, value-oracled here
+    because the partitioner is md5-based (engine-independent)."""
+    from opentelemetry_collector_spark.plans import lineage as lineage_ops
+
+    routed = route_ops.route_stage(_parsed(spark, sf_dir).filter(F.col("parse_ok")))
+    return lineage_ops.logical_lineage(routed)
+
+
 def q_union_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared-sink union (R5): two routes targeting one physical table
     union rather than double-write (graph.go:213-248 node dedup)."""
@@ -418,6 +430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "render_asstring": q_render_asstring,
         "parse_errors": q_parse_errors,
         "otlp_json": q_otlp_json,
+        "lineage": q_lineage,
         "union_sinks": q_union_sinks,
         "turn_order": q_turn_order,
         "conv_stats": q_conv_stats,
@@ -607,6 +620,15 @@ def oracle_sql() -> dict[str, str]:
                    json_extract_string(j, '$.eventName') AS event_name,
                    (json_extract_string(j, '$.body.stringValue') = text) AS roundtrip_ok
             FROM wire
+        """,
+        "lineage": f"""
+            {p}
+            SELECT {sqltext.ROUTE_CASE_SQL} AS route,
+                   CAST(CAST(concat('0x', substr(md5(conv_id), 1, 8)) AS BIGINT)
+                        % 32 AS INT) AS part_id,
+                   count(*) AS "rows",
+                   CAST(sum(strlen(text)) AS BIGINT) AS bytes
+            FROM parsed WHERE parse_ok GROUP BY 1, 2
         """,
         "union_sinks": f"""
             {p}

@@ -20,10 +20,19 @@ Batch-Spark re-expression:
 * ``pipeline_metrics`` table: per-stage rows_in/rows_out/wall_ms, the
   otelcol.*.consumed/produced.items instruments
   (service/internal/metadata/generated_telemetry.go:191-293).
+* per-PARTITION lineage (north rule; the bytes axis mirrors the
+  reference's per-edge proto-bytes sizer,
+  exporter/exporterhelper/internal/sizer/logs_sizer.go:29-49): each
+  sink stage's ack carries ``partitions`` — (part_id, rows, bytes)
+  computed by plans/lineage.logical_lineage over the deterministic
+  conv_id partitioner — and ``files`` — per-output-file rows/bytes from
+  the parquet footers. :meth:`write_lineage_table` flattens the acks
+  into queryable ``lineage`` and ``file_stats`` warehouse tables.
 
-State lives in JSON files (driver-side, tiny) so no Spark job is needed
-to read or commit a checkpoint; on a real deployment these become rows
-in an Iceberg checkpoint table written with snapshot isolation.
+The ack WAL lives in JSON files (driver-side, tiny) so no Spark job is
+needed to read or commit a checkpoint; the queryable lineage tables are
+parquet in the warehouse. On a real deployment both become rows in an
+Iceberg checkpoint table written with snapshot isolation.
 """
 
 from __future__ import annotations
@@ -42,6 +51,8 @@ class StageMetric:
     rows_in: int
     rows_out: int
     wall_ms: int
+    # extra["partitions"]: list of {part_id, rows, bytes} logical lineage
+    # extra["files"]:      list of {file, rows, bytes} physical lineage
     extra: dict = field(default_factory=dict)
 
 
@@ -89,3 +100,41 @@ class CheckpointStore:
                 with open(os.path.join(self._dir(), fn)) as f:
                     out.append(json.load(f))
         return out
+
+    # -- queryable lineage tables --------------------------------------
+    def write_lineage_table(self, spark, catalog) -> tuple[int, int]:
+        """Flatten every acked stage's per-partition / per-file lineage
+        into the ``lineage`` and ``file_stats`` warehouse tables (one
+        small overwrite each — idempotent like every sink write).
+        Returns (lineage_rows, file_rows)."""
+        lineage_rows, file_rows = [], []
+        for m in self.metrics():
+            for p in m.get("partitions", []):
+                lineage_rows.append(
+                    (m["run_id"], m["stage"], int(p["part_id"]),
+                     int(p["rows"]), int(p["bytes"]), int(m["wall_ms"]))
+                )
+            for fr in m.get("files", []):
+                file_rows.append(
+                    (m["run_id"], m["stage"], fr["file"],
+                     int(fr["rows"]), int(fr["bytes"]))
+                )
+        if lineage_rows:
+            catalog.overwrite(
+                "lineage",
+                spark.createDataFrame(
+                    lineage_rows,
+                    "run_id string, stage string, part_id int, rows bigint, "
+                    "bytes bigint, wall_ms bigint",
+                ).coalesce(1),
+            )
+        if file_rows:
+            catalog.overwrite(
+                "file_stats",
+                spark.createDataFrame(
+                    file_rows,
+                    "run_id string, stage string, file string, rows bigint, "
+                    "bytes bigint",
+                ).coalesce(1),
+            )
+        return len(lineage_rows), len(file_rows)

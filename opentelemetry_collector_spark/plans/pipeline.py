@@ -33,6 +33,7 @@ from opentelemetry_collector_spark.operators import enrich as enrich_ops
 from opentelemetry_collector_spark.operators import filters as filter_ops
 from opentelemetry_collector_spark.operators import parse as parse_ops
 from opentelemetry_collector_spark.operators import route as route_ops
+from opentelemetry_collector_spark.plans import lineage as lineage_ops
 from opentelemetry_collector_spark.plans.checkpoint import CheckpointStore, StageMetric
 from opentelemetry_collector_spark.sinks.tables import TableCatalog
 from opentelemetry_collector_spark.sources import (
@@ -104,12 +105,27 @@ def run_pipeline(
     run_id: str | None = None,
     source: Callable[[SparkSession], DataFrame] | None = None,
     fail_after_stage: str | None = None,
+    send_batch_max_size: int = 1_000_000,
+    sink_chunks: int = 1,
 ) -> RunResult:
     """The flagship job, checkpoint-gated per stage.
 
     ``fail_after_stage`` injects a crash for the kill/resume property
     test (receiver/receivertest/contract_checker.go:75-120 scenario:
     random failure → resume → no loss, no duplication).
+
+    ``send_batch_max_size`` is the batch processor's file-splitting knob
+    (processor/batchprocessor/config.go:26-29) applied as
+    ``maxRecordsPerFile`` on every sink write — bounds output file size
+    so a 100 TB run never produces unsplittable files.
+
+    ``sink_chunks`` > 1 splits each routed sink write into that many
+    deterministic conv_id-hash chunks (plans/lineage.det_partition_id),
+    each written and ACKED separately — partition-granular resume: a
+    crash at chunk j of a sink re-does only chunks ≥ j, not the whole
+    stage (the persistent queue re-dispatching only un-acked items,
+    persistent_queue.go:321-428). Chunked tables land as
+    ``table/part=c/`` partitioned layout (partition-pruned on read).
     """
     catalog = TableCatalog(spark, warehouse)
     ckpt = CheckpointStore(warehouse, run_id)
@@ -140,22 +156,97 @@ def run_pipeline(
     enriched = enrich_ops.enrich_stage(good, tool_lookup_df(spark), role_lookup_df(spark))
     routed = route_ops.route_stage(enriched).persist()
 
+    def _chunked_write(table: str, df: DataFrame, stage: str) -> tuple[int, dict]:
+        """Write ``df`` as sink_chunks acked chunks; returns (rows, files)."""
+        total = 0
+        for c in range(sink_chunks):
+            sub = f"{stage}.chunk{c:03d}"
+            part = df.filter(
+                lineage_ops.det_partition_id(F.col("conv_id"), sink_chunks) == c
+            )
+            if ckpt.is_done(sub):
+                skipped.append(sub)
+                total += next(
+                    m["rows_out"] for m in ckpt.metrics() if m["stage"] == sub
+                )
+                continue
+            t0 = time.monotonic()
+            n = _write_counted(catalog, f"{table}/part={c}", part,
+                               max_records_per_file=send_batch_max_size)
+            ckpt.commit(sub, StageMetric(
+                run_id=ckpt.run_id, stage=sub, rows_in=n, rows_out=n,
+                wall_ms=int((time.monotonic() - t0) * 1000),
+                extra={"chunk": c, "files": lineage_ops.file_lineage(
+                    catalog.path(f"{table}/part={c}"))},
+            ))
+            if fail_after_stage == sub:
+                raise RuntimeError(f"injected failure after chunk {sub}")
+            total += n
+        return total, lineage_ops.file_lineage(catalog.path(table))
+
     try:
+        # Per-partition logical lineage for ALL sinks in ONE aggregation
+        # over the cached routed parent (A6 north-rule contract; skipped
+        # entirely when every write stage is already acked on resume).
+        write_stages = [f"write_{s}" for s in SINK_NAMES] + ["quarantine"]
+        lin_by_route: dict[str, list[dict]] = {}
+        if any(not ckpt.is_done(st) for st in write_stages):
+            for r in lineage_ops.logical_lineage(routed).collect():
+                lin_by_route.setdefault(r["route"], []).append(
+                    {"part_id": r["part_id"], "rows": r["rows"], "bytes": r["bytes"]}
+                )
+
         # quarantine sink (permanent-error rows; F7)
-        _gate("quarantine", lambda: (
-            lambda n: (n, n, {})
-        )(_write_counted(catalog, "quarantine", bad.drop("attrs"))))
+        def _quarantine() -> tuple[int, int, dict]:
+            qlin = [
+                {"part_id": r["part_id"], "rows": r["rows"], "bytes": r["bytes"]}
+                for r in lineage_ops.logical_lineage(bad, keys=[]).collect()
+            ]
+            n = _write_counted(catalog, "quarantine", bad.drop("attrs"),
+                               max_records_per_file=send_batch_max_size)
+            return n, n, {
+                "partitions": qlin,
+                "files": lineage_ops.file_lineage(catalog.path("quarantine")),
+            }
+
+        _gate("quarantine", _quarantine)
 
         # per-sink routed writes + accounting (R1 fan-out over one cached parent)
         for sink in SINK_NAMES:
             branch = routed.filter(F.col("route") == sink)
-            _gate(f"write_{sink}", lambda b=branch, s=sink: (
-                lambda n: (n, n, {"sink": s})
-            )(_write_counted(catalog, s, b.drop("attrs"))))
-            _gate(f"agg_{sink}", lambda b=branch, s=sink: (
-                lambda n: (n, n, {"sink": s})
-            )(_write_counted(catalog, f"agg_{s}",
-                             agg_ops.hourly_sink_accounting(b, with_route=False))))
+
+            def _write(b=branch, s=sink) -> tuple[int, int, dict]:
+                if sink_chunks > 1:
+                    n, files = _chunked_write(s, b.drop("attrs"), f"write_{s}")
+                else:
+                    n = _write_counted(catalog, s, b.drop("attrs"),
+                                       max_records_per_file=send_batch_max_size)
+                    files = lineage_ops.file_lineage(catalog.path(s))
+                return n, n, {
+                    "sink": s,
+                    "partitions": lin_by_route.get(s, []),
+                    "files": files,
+                }
+
+            _gate(f"write_{sink}", _write)
+
+            def _agg(b=branch, s=sink) -> tuple[int, int, dict]:
+                n = _write_counted(
+                    catalog, f"agg_{s}",
+                    agg_ops.hourly_sink_accounting(b, with_route=False),
+                    max_records_per_file=send_batch_max_size,
+                )
+                return n, n, {
+                    "sink": s,
+                    "files": lineage_ops.file_lineage(catalog.path(f"agg_{s}")),
+                }
+
+            _gate(f"agg_{sink}", _agg)
+
+        # flatten acked lineage into queryable warehouse tables
+        _gate("lineage", lambda: (
+            lambda counts: (counts[0], counts[0], {"file_rows": counts[1]})
+        )(ckpt.write_lineage_table(spark, catalog)))
     finally:
         routed.unpersist()
 
@@ -177,12 +268,19 @@ def run_pipeline(
     )
 
 
-def _write_counted(catalog: TableCatalog, table: str, df: DataFrame) -> int:
+def _write_counted(
+    catalog: TableCatalog, table: str, df: DataFrame,
+    max_records_per_file: int = 0,
+) -> int:
     """Write + count in ONE action via the Observation API — the
     obsconsumer item counter riding the data path instead of a second
-    scan (service/internal/obsconsumer/logs.go:53-70)."""
+    scan (service/internal/obsconsumer/logs.go:53-70). The file-size
+    bound (send_batch_max_size analog) rides the same write."""
     from pyspark.sql import Observation
 
     obs = Observation(f"rows_{table}")
-    catalog.overwrite(table, df.observe(obs, F.count(F.lit(1)).alias("n")))
+    catalog.overwrite(
+        table, df.observe(obs, F.count(F.lit(1)).alias("n")),
+        max_records_per_file=max_records_per_file,
+    )
     return obs.get["n"]

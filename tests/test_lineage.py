@@ -1,0 +1,106 @@
+"""Per-partition lineage + bytes accounting and partition-granular
+resume (SURVEY §2.4 A6, the north rule's checkpoint-table contract;
+bytes axis mirrors sizer/logs_sizer.go:29-49, resume granularity
+mirrors persistent_queue.go:321-428 per-item acks).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_spark.plans import lineage as lineage_ops
+from opentelemetry_collector_spark.plans.pipeline import run_pipeline
+from opentelemetry_collector_spark.sinks.tables import TableCatalog
+from opentelemetry_collector_spark.sources import derive_transcripts
+from opentelemetry_collector_spark.sqltext import SINK_NAMES
+
+
+def test_lineage_table_reconciles_with_sinks(spark, sf_dir, tmp_path):
+    wh = str(tmp_path / "wh")
+    res = run_pipeline(spark, sf_dir, wh)
+    catalog = TableCatalog(spark, wh)
+
+    lin = catalog.read("lineage")
+    # per-partition rows of each write stage sum to that sink's count
+    per_stage = {
+        r["stage"]: r["n"]
+        for r in lin.groupBy("stage").agg(F.sum("rows").alias("n")).collect()
+    }
+    for s, n in res.sink_counts.items():
+        assert per_stage.get(f"write_{s}", 0) == n
+    # bytes are real payload bytes, non-zero wherever rows are
+    assert lin.filter((F.col("rows") > 0) & (F.col("bytes") <= 0)).count() == 0
+    # the partition axis is populated (the whole point vs per-stage-only)
+    assert lin.select("part_id").distinct().count() > 1
+
+    # physical file stats reconcile too: footer rows per stage == sink rows
+    fs = catalog.read("file_stats")
+    file_per_stage = {
+        r["stage"]: r["n"]
+        for r in fs.groupBy("stage").agg(F.sum("rows").alias("n")).collect()
+    }
+    for s, n in res.sink_counts.items():
+        assert file_per_stage.get(f"write_{s}", 0) == n
+    assert fs.filter(F.col("bytes") <= 0).count() == 0
+
+
+def test_logical_lineage_matches_file_truth_when_partition_aligned(spark, tmp_path):
+    """When the write is laid out by the same deterministic partitioner,
+    logical lineage (groupBy) and physical lineage (parquet footers)
+    agree row-for-row — the two views of A6 are the same truth."""
+    df = spark.range(500).select(
+        F.concat(F.lit("c"), (F.col("id") % 61).cast("string")).alias("conv_id"),
+        F.col("id").cast("string").alias("text"),
+    )
+    n = 8
+    out = str(tmp_path / "aligned")
+    (
+        df.withColumn("part_id", lineage_ops.det_partition_id(F.col("conv_id"), n))
+        .write.partitionBy("part_id").parquet(out)
+    )
+    logical = {
+        r["part_id"]: r["rows"]
+        for r in lineage_ops.logical_lineage(df, keys=[], n=n).collect()
+    }
+    physical: dict[int, int] = {}
+    for fr in lineage_ops.file_lineage(out):
+        pid = int(fr["file"].split("part_id=")[1].split("/")[0])
+        physical[pid] = physical.get(pid, 0) + fr["rows"]
+    assert logical == physical
+
+
+def test_chunked_write_partition_granular_resume(spark, sf_dir, tmp_path):
+    wh = str(tmp_path / "wh3")
+    with pytest.raises(RuntimeError, match="chunk"):
+        run_pipeline(
+            spark, sf_dir, wh, run_id="runC", sink_chunks=3,
+            fail_after_stage="write_sink_search.chunk001",
+        )
+
+    res = run_pipeline(spark, sf_dir, wh, run_id="runC", sink_chunks=3)
+    # partition-granular skip: the two acked chunks of the interrupted
+    # stage are NOT rewritten; only chunk002 (and later stages) run
+    assert "write_sink_search.chunk000" in res.stages_skipped
+    assert "write_sink_search.chunk001" in res.stages_skipped
+    assert "write_sink_search.chunk002" not in res.stages_skipped
+
+    # no loss, no duplication across the chunked layout
+    catalog = TableCatalog(spark, wh)
+    n_input = derive_transcripts(spark, sf_dir).count()
+    union = None
+    for s in SINK_NAMES:
+        t = catalog.read(s).drop("part")
+        union = t if union is None else union.unionByName(t)
+    assert union.count() == n_input
+    assert union.select("conv_id", "turn_idx").distinct().count() == n_input
+
+
+def test_send_batch_max_size_bounds_files(spark, sf_dir, tmp_path):
+    wh = str(tmp_path / "wh4")
+    run_pipeline(spark, sf_dir, wh, send_batch_max_size=100)
+    catalog = TableCatalog(spark, wh)
+    for s in SINK_NAMES:
+        stats = lineage_ops.file_lineage(catalog.path(s))
+        assert stats, s
+        assert max(fr["rows"] for fr in stats) <= 100, s
