@@ -2,10 +2,14 @@
 
     spark-submit --py-files otelcol_spark.zip main.py \
         --sf-dir /data/testdata/sf0.1 --warehouse /data/wh [--run-id R] [--stream]
+    spark-submit ... main.py --config configs/flagship.yaml --warehouse /data/wh
 
 Runs the flagship parse → enrich → route → aggregate pipeline with
 checkpointed, idempotent sink commits; re-running with the same
---run-id resumes, skipping acked stages. Prints one JSON line with
+--run-id resumes, skipping acked stages. With --config, runs a YAML
+service config (receivers/processors/exporters/connectors +
+service.pipelines — the otelcol config surface, plans/config.py)
+instead of the hardcoded flagship plan. Prints one JSON line with
 per-sink counts and stage metrics (the obsreport summary).
 """
 
@@ -26,13 +30,25 @@ def main(argv: list[str] | None = None) -> int:
                     help="run the Structured Streaming variant (AvailableNow)")
     ap.add_argument("--source-path", default=None,
                     help="streaming: directory of transcript parquet files")
+    ap.add_argument("--config", default=None,
+                    help="YAML service config (pipelines/connectors graph)")
     args = ap.parse_args(argv)
 
     from opentelemetry_collector_spark.session import get_spark
 
     spark = get_spark(app_name="otelcol-spark", master=args.master)
     try:
-        if args.stream:
+        if args.config:
+            from opentelemetry_collector_spark.plans.config import run_config_file
+
+            counts = run_config_file(args.config, spark, args.warehouse)
+            print(json.dumps({
+                "mode": "config",
+                "config": args.config,
+                "sink_counts": counts,
+                "total_rows": sum(counts.values()),
+            }))
+        elif args.stream:
             from opentelemetry_collector_spark.sources import derive_transcripts
             from opentelemetry_collector_spark.streaming import stream as ss
 

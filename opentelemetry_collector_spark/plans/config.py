@@ -1,0 +1,390 @@
+"""YAML pipeline configuration → validated pipeline graph (SURVEY §3.1,
+§2.3 R4 — the confmap/service-graph analog).
+
+The reference's primary UX is a YAML config: component sections
+(receivers / processors / exporters / connectors) plus
+``service.pipelines`` wiring them into a DAG, resolved and validated
+before anything starts (otelcol/collector.go:179-270,
+confmap/resolver.go:73-128, service/pipelines/config.go:25-64). The
+graph treats a connector as an exporter in one pipeline and a receiver
+in another, deduplicates nodes, and topo-sorts — rejecting cycles with
+an error that names the offending path
+(service/internal/graph/graph.go:98-199, 511-549).
+
+Spark-first re-expression: components are *stage factories* over lazy
+DataFrames; building the graph composes one Catalyst plan per terminal
+exporter, so the optimizer sees across pipeline boundaries (a connector
+is just a sub-plan handle, not a serialization point — the zero-copy
+analog of the in-process consumer ABI). A connector output consumed by
+more than one downstream pipeline is persisted once, mirroring the
+fanout consumer's single cached parent (internal/fanoutconsumer/
+logs.go:21-77).
+
+Component IDs follow the reference's ``type`` or ``type/name`` format
+(component/identifiable.go). Supported types:
+
+* receivers:  ``transcripts`` (sf_dir option — the OTLP receiver
+  analog over the events-derived table), ``parquet`` (path option)
+* processors: ``parse``, ``enrich``, ``filter`` (column/strict/regexp/
+  mode — filterprocessor), ``sample`` (conversation-hash sampler),
+  ``route`` (adds the route column), ``attributes`` (verb list —
+  attributesprocessor)
+* exporters:  ``table`` (table option — Iceberg/parquet sink),
+  ``debug`` (debugexporter), ``nop``
+* connectors: ``forward`` (forwardconnector/forward.go:17-90),
+  ``router`` (content routing to downstream pipelines by the route
+  column — connector/logs_router.go:18-69)
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class ConfigError(ValueError):
+    """Invalid pipeline configuration (the otelcol config-validation
+    error class; messages mirror service/pipelines/config.go:25-64)."""
+
+
+def _ctype(component_id: str) -> str:
+    """``type[/name]`` → type (component/identifiable.go)."""
+    return component_id.split("/", 1)[0]
+
+
+@dataclass
+class PipelineSpec:
+    name: str
+    receivers: list[str]
+    processors: list[str]
+    exporters: list[str]
+
+
+@dataclass
+class ServiceConfig:
+    receivers: dict[str, dict]
+    processors: dict[str, dict]
+    exporters: dict[str, dict]
+    connectors: dict[str, dict]
+    pipelines: dict[str, PipelineSpec]
+
+    @staticmethod
+    def from_yaml(text: str) -> "ServiceConfig":
+        import yaml
+
+        raw = yaml.safe_load(text) or {}
+        return ServiceConfig.from_dict(raw)
+
+    @staticmethod
+    def from_file(path: str) -> "ServiceConfig":
+        with open(path) as f:
+            return ServiceConfig.from_yaml(f.read())
+
+    @staticmethod
+    def from_dict(raw: dict) -> "ServiceConfig":
+        pipelines = {}
+        for name, spec in ((raw.get("service") or {}).get("pipelines") or {}).items():
+            spec = spec or {}
+            pipelines[name] = PipelineSpec(
+                name=name,
+                receivers=list(spec.get("receivers") or []),
+                processors=list(spec.get("processors") or []),
+                exporters=list(spec.get("exporters") or []),
+            )
+        cfg = ServiceConfig(
+            receivers=dict(raw.get("receivers") or {}),
+            processors=dict(raw.get("processors") or {}),
+            exporters=dict(raw.get("exporters") or {}),
+            connectors=dict(raw.get("connectors") or {}),
+            pipelines=pipelines,
+        )
+        cfg.validate()
+        return cfg
+
+    # -- validation (service/pipelines/config.go:25-64 + graph cycles) --
+    def validate(self) -> None:
+        if not self.pipelines:
+            raise ConfigError("service.pipelines: no pipelines configured")
+        for name, p in self.pipelines.items():
+            if not p.receivers:
+                raise ConfigError(f"pipeline {name!r}: must have at least one receiver")
+            if not p.exporters:
+                raise ConfigError(f"pipeline {name!r}: must have at least one exporter")
+            for r in p.receivers:
+                if r not in self.receivers and r not in self.connectors:
+                    raise ConfigError(
+                        f"pipeline {name!r}: references receiver {r!r} "
+                        "which is not configured"
+                    )
+            for pr in p.processors:
+                if pr not in self.processors:
+                    raise ConfigError(
+                        f"pipeline {name!r}: references processor {pr!r} "
+                        "which is not configured"
+                    )
+            if len(p.processors) != len(set(p.processors)):
+                raise ConfigError(
+                    f"pipeline {name!r}: references processor more than once"
+                )
+            for e in p.exporters:
+                if e not in self.exporters and e not in self.connectors:
+                    raise ConfigError(
+                        f"pipeline {name!r}: references exporter {e!r} "
+                        "which is not configured"
+                    )
+            if len(p.exporters) != len(set(p.exporters)):
+                raise ConfigError(
+                    f"pipeline {name!r}: references exporter more than once"
+                )
+        # every connector must be used as BOTH an exporter somewhere and
+        # a receiver somewhere else (graph.go:151-199 orphan checks)
+        for c in self.connectors:
+            as_exp = any(c in p.exporters for p in self.pipelines.values())
+            as_rcv = any(c in p.receivers for p in self.pipelines.values())
+            if not (as_exp and as_rcv):
+                raise ConfigError(
+                    f"connector {c!r}: must be used as exporter in one pipeline "
+                    "and receiver in another"
+                )
+        self.topo_order()  # raises on cycles
+
+    def topo_order(self) -> list[str]:
+        """Pipeline names in dependency order (upstream first). Edges:
+        pipeline A --(connector)--> pipeline B when A exports to a
+        connector B receives from. Cycles are rejected with the
+        connector path named (graph.go:511-549)."""
+        deps: dict[str, set[str]] = {name: set() for name in self.pipelines}
+        via: dict[tuple[str, str], str] = {}
+        for a_name, a in self.pipelines.items():
+            for c in a.exporters:
+                if c not in self.connectors:
+                    continue
+                for b_name, b in self.pipelines.items():
+                    if c in b.receivers:
+                        deps[b_name].add(a_name)
+                        via[(a_name, b_name)] = c
+        order: list[str] = []
+        state: dict[str, int] = {}  # 0 unvisited / 1 in-stack / 2 done
+        stack: list[str] = []
+
+        def visit(n: str) -> None:
+            if state.get(n) == 2:
+                return
+            if state.get(n) == 1:
+                cyc = stack[stack.index(n):] + [n]
+                conns = [
+                    via.get((cyc[i], cyc[i + 1]), "?") for i in range(len(cyc) - 1)
+                ]
+                raise ConfigError(
+                    "cycle detected in pipeline graph: "
+                    + " -> ".join(cyc)
+                    + f" (via connector(s) {', '.join(sorted(set(conns)))})"
+                )
+            state[n] = 1
+            stack.append(n)
+            for d in sorted(deps[n]):
+                visit(d)
+            stack.pop()
+            state[n] = 2
+            order.append(n)
+
+        for n in sorted(self.pipelines):
+            visit(n)
+        return order
+
+
+# ---------------------------------------------------------------------------
+# component factories
+# ---------------------------------------------------------------------------
+
+def _make_receiver(cid: str, opts: dict, spark: SparkSession) -> DataFrame:
+    from opentelemetry_collector_spark.sources import derive_transcripts
+
+    t = _ctype(cid)
+    if t == "transcripts":
+        return derive_transcripts(spark, opts.get("sf_dir", "/root/testdata/sf0.001"))
+    if t == "parquet":
+        return spark.read.parquet(opts["path"])
+    raise ConfigError(f"receiver {cid!r}: unknown type {t!r}")
+
+
+def _make_processor(cid: str, opts: dict, spark: SparkSession) -> Callable[[DataFrame], DataFrame]:
+    from opentelemetry_collector_spark.operators import attributes as attr_ops
+    from opentelemetry_collector_spark.operators import enrich as enrich_ops
+    from opentelemetry_collector_spark.operators import filters as filter_ops
+    from opentelemetry_collector_spark.operators import parse as parse_ops
+    from opentelemetry_collector_spark.operators import route as route_ops
+    from opentelemetry_collector_spark.sources import role_lookup_df, tool_lookup_df
+
+    t = _ctype(cid)
+    if t == "parse":
+        with_attrs = bool(opts.get("with_attrs", True))
+        return lambda df: parse_ops.parse_stage(df, with_attrs=with_attrs)
+    if t == "enrich":
+        return lambda df: enrich_ops.enrich_stage(
+            df, tool_lookup_df(spark), role_lookup_df(spark)
+        )
+    if t == "filter":
+        spec = filter_ops.MatchSpec(
+            column=opts["column"],
+            strict=opts.get("strict"),
+            regexp=opts.get("regexp"),
+        )
+        mode = opts.get("mode", "include")
+        return lambda df: filter_ops.filter_stage(df, [spec], mode=mode)
+    if t == "sample":
+        keep = str(opts.get("keep_hex_lt", "29"))
+        return lambda df: filter_ops.sample_conversations(df, keep_hex_lt=keep)
+    if t == "route":
+        return lambda df: route_ops.route_stage(df)
+    if t == "attributes":
+        # attributesprocessor action list (processor/attributesprocessor
+        # config shape): set / delete / keep_keys verbs applied in order
+        actions = list(opts.get("actions", []))
+
+        def apply_actions(df: DataFrame, acts=actions) -> DataFrame:
+            for a in acts:
+                verb = a.get("action")
+                if verb == "set":
+                    df = attr_ops.set_attr(df, a["key"], F.lit(str(a["value"])))
+                elif verb == "delete":
+                    df = attr_ops.delete_attr(df, a["key"])
+                elif verb == "keep_keys":
+                    df = attr_ops.keep_keys(df, list(a["keys"]))
+                else:
+                    raise ConfigError(f"attributes: unknown action {verb!r}")
+            return df
+
+        return apply_actions
+    raise ConfigError(f"processor {cid!r}: unknown type {t!r}")
+
+
+@dataclass
+class BuiltGraph:
+    """Resolved service graph, ready to run."""
+
+    config: ServiceConfig
+    order: list[str]
+    # exporter component id -> rows written on run()
+    sink_counts: dict[str, int] = field(default_factory=dict)
+
+
+def build(config: ServiceConfig) -> BuiltGraph:
+    """Validate + topo-sort (already done in from_dict; idempotent)."""
+    return BuiltGraph(config=config, order=config.topo_order())
+
+
+def run(
+    graph: BuiltGraph,
+    spark: SparkSession,
+    warehouse: str,
+    max_records_per_file: int = 0,
+) -> dict[str, int]:
+    """Execute the graph: pipelines in topo order, connectors carrying
+    lazy sub-plans between them, one write action per table exporter.
+
+    Returns per-exporter row counts (obsconsumer accounting). Connector
+    outputs consumed more than once are persisted (single cached parent
+    per fan-out, fanoutconsumer/logs.go:21-77) and released after run.
+    """
+    from pyspark.sql import Observation
+
+    from opentelemetry_collector_spark.sinks.tables import TableCatalog
+
+    cfg = graph.config
+    catalog = TableCatalog(spark, warehouse)
+
+    # connector id -> list of upstream DataFrames (exporter side)
+    conn_inputs: dict[str, list[DataFrame]] = {c: [] for c in cfg.connectors}
+    # how many pipelines consume each connector (for persist decision)
+    consumers = {
+        c: sum(c in p.receivers for p in cfg.pipelines.values())
+        for c in cfg.connectors
+    }
+    persisted: list[DataFrame] = []
+    counts: dict[str, int] = {}
+
+    def _connector_output(cid: str, consumer: PipelineSpec) -> DataFrame:
+        t = _ctype(cid)
+        ins = conn_inputs[cid]
+        if not ins:
+            raise ConfigError(f"connector {cid!r}: consumed before fed "
+                              "(topo order violated)")
+        merged = ins[0]
+        for d in ins[1:]:
+            merged = merged.unionByName(d)
+        if t == "router":
+            routes = (cfg.connectors[cid] or {}).get("routes", {})
+            wanted = [
+                rv for rv, pipes in routes.items() if consumer.name in (pipes or [])
+            ]
+            col = (cfg.connectors[cid] or {}).get("column", "route")
+            merged = merged.filter(F.col(col).isin(wanted))
+        elif t != "forward":
+            raise ConfigError(f"connector {cid!r}: unknown type {t!r}")
+        return merged
+
+    try:
+        for pname in graph.order:
+            p = cfg.pipelines[pname]
+            # receivers: sources + connector outputs, unioned
+            dfs = []
+            for r in p.receivers:
+                if r in cfg.connectors:
+                    dfs.append(_connector_output(r, p))
+                else:
+                    dfs.append(_make_receiver(r, cfg.receivers[r] or {}, spark))
+            df = dfs[0]
+            for d in dfs[1:]:
+                df = df.unionByName(d)
+            # processors in declared order
+            for prid in p.processors:
+                df = _make_processor(prid, cfg.processors[prid] or {}, spark)(df)
+            # exporters: connectors buffer the lazy plan; sinks write
+            terminal = [e for e in p.exporters if e not in cfg.connectors]
+            if len(terminal) > 1:
+                df = df.persist()
+                persisted.append(df)
+            for e in p.exporters:
+                if e in cfg.connectors:
+                    out = df
+                    if consumers[e] > 1:
+                        out = out.persist()
+                        persisted.append(out)
+                    conn_inputs[e].append(out)
+                    continue
+                t = _ctype(e)
+                opts = cfg.exporters[e] or {}
+                if t == "table":
+                    obs = Observation(f"cfg_{pname}_{e}")
+                    catalog.overwrite(
+                        opts.get("table", e.replace("/", "_")),
+                        df.observe(obs, F.count(F.lit(1)).alias("n")),
+                        max_records_per_file=max_records_per_file,
+                    )
+                    counts[e] = obs.get["n"]
+                elif t == "debug":
+                    from opentelemetry_collector_spark.sinks.tables import debug_format
+
+                    counts[e] = debug_format(
+                        df, verbosity=opts.get("verbosity", "normal")
+                    ).count()
+                elif t == "nop":
+                    counts[e] = 0
+                else:
+                    raise ConfigError(f"exporter {e!r}: unknown type {t!r}")
+    finally:
+        for d in persisted:
+            d.unpersist()
+    graph.sink_counts = counts
+    return counts
+
+
+def run_config_file(
+    path: str, spark: SparkSession, warehouse: str, **kw
+) -> dict[str, int]:
+    return run(build(ServiceConfig.from_file(path)), spark, warehouse, **kw)

@@ -1,0 +1,177 @@
+"""YAML service config → pipeline graph: validation rules, connector
+topology, cycle detection, and an end-to-end run (SURVEY §3.1 / R4;
+rule sources cited in plans/config.py)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_spark.plans import config as cfg_mod
+from opentelemetry_collector_spark.plans.config import (
+    ConfigError,
+    ServiceConfig,
+    build,
+    run,
+)
+from opentelemetry_collector_spark.sinks.tables import TableCatalog
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _base(pipelines):
+    return {
+        "receivers": {"transcripts": {"sf_dir": "/root/testdata/sf0.001"}},
+        "processors": {"parse": {}, "enrich": {}, "route": {}},
+        "exporters": {"table/a": {"table": "out_a"}, "table/b": {"table": "out_b"}},
+        "connectors": {},
+        "service": {"pipelines": pipelines},
+    }
+
+
+def test_missing_receiver_rejected():
+    raw = _base({"logs": {"receivers": [], "exporters": ["table/a"]}})
+    with pytest.raises(ConfigError, match="at least one receiver"):
+        ServiceConfig.from_dict(raw)
+
+
+def test_missing_exporter_rejected():
+    raw = _base({"logs": {"receivers": ["transcripts"], "exporters": []}})
+    with pytest.raises(ConfigError, match="at least one exporter"):
+        ServiceConfig.from_dict(raw)
+
+
+def test_unknown_reference_rejected():
+    raw = _base({"logs": {"receivers": ["transcripts"], "exporters": ["table/zzz"]}})
+    with pytest.raises(ConfigError, match="table/zzz"):
+        ServiceConfig.from_dict(raw)
+
+
+def test_duplicate_exporter_rejected():
+    raw = _base(
+        {"logs": {"receivers": ["transcripts"], "exporters": ["table/a", "table/a"]}}
+    )
+    with pytest.raises(ConfigError, match="more than once"):
+        ServiceConfig.from_dict(raw)
+
+
+def test_orphan_connector_rejected():
+    raw = _base({"logs": {"receivers": ["transcripts"], "exporters": ["table/a"]}})
+    raw["connectors"] = {"forward/x": {}}
+    raw["service"]["pipelines"]["logs"]["exporters"].append("forward/x")
+    # exported-to but never received-from
+    with pytest.raises(ConfigError, match="forward/x"):
+        ServiceConfig.from_dict(raw)
+
+
+def test_cycle_rejected_naming_connector():
+    raw = _base(
+        {
+            "logs/a": {"receivers": ["transcripts", "forward/back"],
+                       "exporters": ["forward/fwd"]},
+            "logs/b": {"receivers": ["forward/fwd"],
+                       "exporters": ["forward/back", "table/a"]},
+        }
+    )
+    raw["connectors"] = {"forward/fwd": {}, "forward/back": {}}
+    with pytest.raises(ConfigError, match="cycle detected.*forward/"):
+        ServiceConfig.from_dict(raw)
+
+
+def test_topo_order_upstream_first():
+    raw = _base(
+        {
+            "logs/down": {"receivers": ["forward/x"], "exporters": ["table/b"]},
+            "logs/up": {"receivers": ["transcripts"], "exporters": ["forward/x"]},
+        }
+    )
+    raw["connectors"] = {"forward/x": {}}
+    cfg = ServiceConfig.from_dict(raw)
+    order = cfg.topo_order()
+    assert order.index("logs/up") < order.index("logs/down")
+
+
+def test_forward_connector_end_to_end(spark, sf_dir, tmp_path):
+    """Two chained pipelines through a forward connector equal the
+    single-pipeline plan (forwardconnector/forward.go:17-90)."""
+    raw = _base(
+        {
+            "logs/ingest": {
+                "receivers": ["transcripts"],
+                "processors": ["parse"],
+                "exporters": ["forward/x"],
+            },
+            "logs/write": {
+                "receivers": ["forward/x"],
+                "processors": ["enrich", "route"],
+                "exporters": ["table/a"],
+            },
+        }
+    )
+    raw["receivers"]["transcripts"]["sf_dir"] = str(sf_dir)
+    raw["connectors"] = {"forward/x": {}}
+    cfg = ServiceConfig.from_dict(raw)
+    counts = run(build(cfg), spark, str(tmp_path / "wh"))
+    from opentelemetry_collector_spark.sources import derive_transcripts
+
+    assert counts["table/a"] == derive_transcripts(spark, str(sf_dir)).count()
+    out = TableCatalog(spark, str(tmp_path / "wh")).read("out_a")
+    assert "route" in out.columns and "tool_category" in out.columns
+
+
+def test_flagship_yaml_router_fanout(spark, sf_dir, tmp_path):
+    """The shipped configs/flagship.yaml: router connector fans out to
+    five sink pipelines; per-sink counts equal the direct DataFrame plan
+    (routed-row-set equality per exporter — the north-rule check)."""
+    cfg = ServiceConfig.from_file(os.path.join(REPO, "configs", "flagship.yaml"))
+    # retarget the receiver at the test's sf_dir
+    cfg.receivers["transcripts"]["sf_dir"] = str(sf_dir)
+    wh = str(tmp_path / "whf")
+    counts = run(build(cfg), spark, wh)
+
+    from opentelemetry_collector_spark.operators import parse as parse_ops
+    from opentelemetry_collector_spark.operators import route as route_ops
+    from opentelemetry_collector_spark.sources import derive_transcripts
+
+    expected = {
+        r["route"]: r["n"]
+        for r in route_ops.route_stage(
+            parse_ops.parse_stage(derive_transcripts(spark, str(sf_dir)))
+        ).groupBy("route").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    got = {
+        f"sink_{e.split('/')[1]}": n for e, n in counts.items()
+    }
+    assert got == {k: expected.get(k, 0) for k in got}
+    assert sum(counts.values()) == derive_transcripts(spark, str(sf_dir)).count()
+
+    # routed-row-set equality for one sink table
+    cat = TableCatalog(spark, wh)
+    search = cat.read("sink_search")
+    assert search.filter(F.col("route") != "sink_search").count() == 0
+
+
+def test_attributes_processor_from_config(spark, sf_dir, tmp_path):
+    raw = _base(
+        {
+            "logs": {
+                "receivers": ["transcripts"],
+                "processors": ["parse", "attributes/env"],
+                "exporters": ["table/a"],
+            }
+        }
+    )
+    raw["receivers"]["transcripts"]["sf_dir"] = str(sf_dir)
+    raw["processors"]["attributes/env"] = {
+        "actions": [
+            {"action": "set", "key": "env", "value": "prod"},
+            {"action": "delete", "key": "msg"},
+        ]
+    }
+    cfg = ServiceConfig.from_dict(raw)
+    run(build(cfg), spark, str(tmp_path / "wha"))
+    out = TableCatalog(spark, str(tmp_path / "wha")).read("out_a")
+    row = out.select(F.map_keys("attrs").alias("ks")).first()
+    assert "env" in row["ks"] and "msg" not in row["ks"]
