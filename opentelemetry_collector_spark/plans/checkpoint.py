@@ -110,9 +110,12 @@ class CheckpointStore:
         lineage_rows, file_rows = [], []
         for m in self.metrics():
             for p in m.get("partitions", []):
+                # part_id is NULL for rows whose partition key is NULL
+                # (e.g. poison rows headed for rejection) — bucket -1
+                pid = -1 if p["part_id"] is None else int(p["part_id"])
                 lineage_rows.append(
-                    (m["run_id"], m["stage"], int(p["part_id"]),
-                     int(p["rows"]), int(p["bytes"]), int(m["wall_ms"]))
+                    (m["run_id"], m["stage"], pid,
+                     int(p["rows"]), int(p["bytes"] or 0), int(m["wall_ms"]))
                 )
             for fr in m.get("files", []):
                 file_rows.append(

@@ -16,6 +16,9 @@ import time
 from collections.abc import Callable
 from typing import TypeVar
 
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
 T = TypeVar("T")
 
 
@@ -29,6 +32,72 @@ class RetryableError(Exception):
 
 def is_permanent(err: BaseException) -> bool:
     return isinstance(err, PermanentError)
+
+
+# Default sink-write row contract (the exporter's input validation; a
+# violating row is the per-push "rejected_log_records" of OTLP partial
+# success, exporter/otlpexporter/otlp.go:143-149). max item size plays
+# the batch sender's max-size role.
+MAX_SINK_TEXT_BYTES = 1 << 20
+
+
+def default_sink_constraints(max_text_bytes: int = MAX_SINK_TEXT_BYTES) -> list[tuple[str, Column]]:
+    """(reason, passes) pairs checked in order; first failure names the
+    rejection reason."""
+    return [
+        ("null_conv_id", F.col("conv_id").isNotNull()),
+        ("negative_turn_idx", F.col("turn_idx") >= 0),
+        ("oversized_text", F.octet_length(F.col("text")) <= max_text_bytes),
+    ]
+
+
+def write_with_partial_success(
+    catalog,
+    table: str,
+    df: DataFrame,
+    constraints: list[tuple[str, Column]] | None = None,
+    max_records_per_file: int = 0,
+) -> tuple[int, int]:
+    """Sink write with per-write rejected-row accounting (OTLP partial
+    success: the push succeeds while reporting rejected_log_records,
+    exporter/otlpexporter/otlp.go:143-149 + internal/queue_sender
+    partial-success logging).
+
+    Scale shape: the accepted/rejected counts ride the ONE sink write
+    via an Observation placed above the validity filter (CollectMetrics
+    is a pushdown barrier, so it sees every input row). The rejected
+    side is written to ``rejected_<table>`` ONLY when the count is
+    non-zero — the clean-data fast path stays a single action with two
+    codegen'd predicates, no second pass.
+
+    Returns (accepted_rows, rejected_rows).
+    """
+    from pyspark.sql import Observation
+
+    constraints = constraints or default_sink_constraints()
+    reason = F.lit(None).cast("string")
+    for name, ok in reversed(constraints):
+        reason = F.when(~F.coalesce(ok, F.lit(False)), F.lit(name)).otherwise(reason)
+    flagged = df.withColumn("_reject_reason", reason)
+    obs = Observation(f"partial_{table}")
+    observed = flagged.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.col("_reject_reason")).alias("n_rejected"),
+    )
+    catalog.overwrite(
+        table,
+        observed.filter(F.col("_reject_reason").isNull()).drop("_reject_reason"),
+        max_records_per_file=max_records_per_file,
+    )
+    n_total, n_rejected = obs.get["n_total"], obs.get["n_rejected"]
+    if n_rejected:
+        catalog.overwrite(
+            f"rejected_{table}",
+            flagged.filter(F.col("_reject_reason").isNotNull())
+            .withColumnRenamed("_reject_reason", "reject_reason"),
+        )
+    return n_total - n_rejected, n_rejected
 
 
 def with_retry(

@@ -33,6 +33,7 @@ from opentelemetry_collector_spark.operators import enrich as enrich_ops
 from opentelemetry_collector_spark.operators import filters as filter_ops
 from opentelemetry_collector_spark.operators import parse as parse_ops
 from opentelemetry_collector_spark.operators import route as route_ops
+from opentelemetry_collector_spark.plans import errors as err_ops
 from opentelemetry_collector_spark.plans import lineage as lineage_ops
 from opentelemetry_collector_spark.plans.checkpoint import CheckpointStore, StageMetric
 from opentelemetry_collector_spark.sinks.tables import TableCatalog
@@ -216,14 +217,20 @@ def run_pipeline(
             branch = routed.filter(F.col("route") == sink)
 
             def _write(b=branch, s=sink) -> tuple[int, int, dict]:
+                rejected = 0
                 if sink_chunks > 1:
                     n, files = _chunked_write(s, b.drop("attrs"), f"write_{s}")
                 else:
-                    n = _write_counted(catalog, s, b.drop("attrs"),
-                                       max_records_per_file=send_batch_max_size)
+                    # partial success: invalid rows land in rejected_<sink>
+                    # while the sink commit succeeds (errors.py F7)
+                    n, rejected = err_ops.write_with_partial_success(
+                        catalog, s, b.drop("attrs"),
+                        max_records_per_file=send_batch_max_size,
+                    )
                     files = lineage_ops.file_lineage(catalog.path(s))
-                return n, n, {
+                return n + rejected, n, {
                     "sink": s,
+                    "rejected": rejected,
                     "partitions": lin_by_route.get(s, []),
                     "files": files,
                 }
