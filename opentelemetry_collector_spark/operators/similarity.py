@@ -73,6 +73,95 @@ def brute_force_topk(
     )
 
 
+def _sq_dist_expr(vec: Column, centroid: list[float]) -> Column:
+    """Squared L2 distance to a literal centroid (sequential fold —
+    element order fixed, matching the oracle's list_sum)."""
+    c = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(vec, c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def assign_cells_expr(vec: Column, centroids: list[list[float]]) -> Column:
+    """Argmin centroid id as a pure column expression (the broadcast
+    k-means assignment: centroids ride the plan as literals — the same
+    shape as broadcasting a tiny dim table, no shuffle, no UDF).
+    Distances rounded to 1e-6 with index tie-break so the choice is
+    reproducible across engines and summation ulp drift."""
+    scored = F.array(
+        *[
+            F.named_struct(
+                F.lit("d"), F.round(_sq_dist_expr(vec, c), 6),
+                F.lit("j"), F.lit(j),
+            )
+            for j, c in enumerate(centroids)
+        ]
+    )
+    return F.array_min(scored)["j"]
+
+
+def kmeans_cells(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[float]]]:
+    """Deterministic Lloyd's k-means coarse quantizer for IVF / embedding
+    dedup: seeds = the k vectors with smallest ids, then ``iters``
+    rounds of (assign → recompute centroids), then a final assign.
+    Returns (df + ``cell`` column, final centroids).
+
+    Determinism (the whole design): no RNG (id-ordered seeds), exact
+    centroid math (components cast to DECIMAL(20,8) — group-by sums are
+    exact, so partition/order of the reduce cannot change the result;
+    mean = exact-sum cast to double / count), and rounded+tie-broken
+    assignment. The DuckDB oracle (sqltext.kmeans_cte) reproduces every
+    step in SQL — cell assignments are value-oracled, which an RNG
+    k-means could never be.
+
+    Scale shape: each iteration is one narrow groupBy (k×dim rows out)
+    plus a scan-speed assignment; centroids live on the driver (k×dim
+    doubles) and enter the plan as literals — broadcast-join economics
+    without a join. iters and k are tiny constants; the heavy data is
+    touched iters+1 times at scan speed.
+    """
+    vec = _as_double(F.col(vec_col))
+    seeds = [
+        [float(x) for x in r["v"]]
+        for r in df.select(vec.alias("v"), F.col(id_col))
+        .orderBy(F.col(id_col).asc())
+        .limit(k)
+        .collect()
+    ]
+    cents = seeds
+    for _ in range(iters):
+        assigned = df.select(
+            assign_cells_expr(vec, cents).alias("cell"),
+            F.posexplode(vec).alias("pos", "x"),
+        )
+        sums = (
+            assigned.groupBy("cell", "pos")
+            .agg(
+                F.sum(F.col("x").cast("decimal(20,8)")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in sums:
+            by_cell.setdefault(r["cell"], {})[r["pos"]] = float(r["s"]) / r["n"]
+        prev = cents
+        cents = [
+            [by_cell[j][p] for p in range(len(prev[0]))] if j in by_cell else prev[j]
+            for j in range(k)
+        ]
+    out = df.withColumn("cell", assign_cells_expr(vec, cents))
+    return out, cents
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

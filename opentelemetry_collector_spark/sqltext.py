@@ -240,3 +240,58 @@ def minhash_sig_sql_list(n_hashes: int = 12) -> str:
         f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {MINHASH_P}))"
         for a, b in MINHASH_COEFFS[:n_hashes]
     ) + "]"
+
+
+def kmeans_cells_cte(k: int = 8, dim: int = 64) -> str:
+    """DuckDB CTE chain reproducing similarity.kmeans_cells (iters=1)
+    bit-for-bit: id-ordered seeds, rounded+tie-broken argmin assignment,
+    exact DECIMAL(20,8) centroid sums cast to double / count. Ends with
+    ``kcells(vec_id, cell)``; append the consuming SELECT."""
+    dist = (
+        "round(list_sum(list_transform(generate_series(1,{dim}), "
+        "i -> (e.v[i]-s.v[i])*(e.v[i]-s.v[i]))), 6)"
+    ).format(dim=dim)
+    return f"""
+        WITH emb AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ),
+        seeds AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v
+          FROM (SELECT * FROM emb ORDER BY vec_id LIMIT {k})
+        ),
+        d0 AS (
+          SELECT e.vec_id, s.cell, {dist} AS d2
+          FROM emb e CROSS JOIN seeds s
+        ),
+        a0 AS (
+          SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+            FROM d0
+          ) WHERE rn = 1
+        ),
+        upd AS (
+          SELECT a0.cell, t.i AS pos,
+                 CAST(sum(CAST(e.v[t.i] AS DECIMAL(20,8))) AS DOUBLE)/count(*) AS cv
+          FROM a0 JOIN emb e USING (vec_id),
+               UNNEST(generate_series(1,{dim})) AS t(i)
+          GROUP BY a0.cell, t.i
+        ),
+        cent1 AS (SELECT cell, list(cv ORDER BY pos) AS v FROM upd GROUP BY cell),
+        cents AS (
+          SELECT s.cell, COALESCE(c.v, s.v) AS v
+          FROM seeds s LEFT JOIN cent1 c USING (cell)
+        ),
+        d1 AS (
+          SELECT e.vec_id, s.cell, {dist} AS d2
+          FROM emb e CROSS JOIN cents s
+        ),
+        kcells AS (
+          SELECT vec_id, CAST(cell AS INT) AS cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+            FROM d1
+          ) WHERE rn = 1
+        )
+    """

@@ -110,3 +110,19 @@ def test_synth_generator_invariants(spark):
     # all texts parseable by the parse stage
     parsed = parse_ops.parse_stage(df)
     assert parsed.filter(~F.col("parse_ok")).count() == 0
+
+
+def test_kmeans_cells_deterministic_and_balanced(spark, sf_dir):
+    """Lloyd quantizer: same cells on repeated invocation (no RNG), all
+    k cells populated on the embeddings corpus, ids preserved."""
+    from opentelemetry_collector_spark.operators.similarity import kmeans_cells
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out1, cents1 = kmeans_cells(emb, k=4, iters=2)
+    out2, cents2 = kmeans_cells(emb, k=4, iters=2)
+    assert cents1 == cents2
+    a = dict((r["vec_id"], r["cell"]) for r in out1.collect())
+    b = dict((r["vec_id"], r["cell"]) for r in out2.collect())
+    assert a == b
+    assert len(set(a.values())) == 4
+    assert len(a) == emb.count()
