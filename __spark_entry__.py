@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from opentelemetry_collector_spark import sqltext
+from opentelemetry_collector_spark.functions import protosize
 from opentelemetry_collector_spark.operators import aggregate as agg_ops
 from opentelemetry_collector_spark.operators import enrich as enrich_ops
 from opentelemetry_collector_spark.operators import filters as filter_ops
@@ -253,6 +254,31 @@ def q_otlp_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_proto_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-record OTLP protobuf wire size as scan-speed column math
+    (pdata SizeProto law — functions/protosize.py). The bytes axis the
+    reference's queue/batch layers account with, without serializing."""
+    from opentelemetry_collector_spark.functions import protosize
+
+    df = _parsed(spark, sf_dir)
+    sev_text = (
+        F.when(F.col("severity_num") == 17, "ERROR")
+        .when(F.col("severity_num") == 13, "WARN")
+        .when(F.col("severity_num") == 9, "INFO")
+        .otherwise("")
+    )
+    size = protosize.log_record_proto_size(
+        F.col("ts"), F.col("severity_num"), sev_text,
+        F.col("text"), F.col("event_kind"),
+        attrs=[
+            ("msg", F.col("msg")),
+            ("status", F.col("status_code").cast("string")),
+            ("tool", F.col("tool_parsed")),
+        ],
+    )
+    return df.select("conv_id", "turn_idx", size.alias("proto_bytes"))
+
+
 def q_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-partition lineage grid (A6 / the north rule's checkpoint-table
     contract): rows + payload bytes per (route, deterministic conv_id
@@ -452,6 +478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "render_asstring": q_render_asstring,
         "parse_errors": q_parse_errors,
         "otlp_json": q_otlp_json,
+        "proto_size": q_proto_size,
         "lineage": q_lineage,
         "union_sinks": q_union_sinks,
         "turn_order": q_turn_order,
@@ -644,6 +671,16 @@ def oracle_sql() -> dict[str, str]:
                    json_extract_string(j, '$.eventName') AS event_name,
                    (json_extract_string(j, '$.body.stringValue') = text) AS roundtrip_ok
             FROM wire
+        """,
+        "proto_size": f"""
+            {p}
+            SELECT conv_id, turn_idx, {protosize.log_record_proto_size_sql(
+                "(CASE WHEN severity_num = 17 THEN 'ERROR' "
+                "WHEN severity_num = 13 THEN 'WARN' "
+                "WHEN severity_num = 9 THEN 'INFO' ELSE '' END)",
+                [(3, "msg"), (6, "CAST(status_code AS VARCHAR)"), (4, "tool_parsed")],
+            )} AS proto_bytes
+            FROM parsed
         """,
         "lineage": f"""
             {p}
