@@ -33,6 +33,13 @@ def norm_text(c: Column) -> Column:
     return F.lower(F.trim(c))
 
 
+def bind_once(value: Column, body) -> Column:
+    """Evaluate ``value`` exactly once and feed it to ``body`` (HOF
+    lambdas are interpreted and Catalyst inlines aliased expressions
+    into every use site — see dedup._bind_once, which aliases this)."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def words_col(c: Column) -> Column:
     return F.split(norm_text(c), "[ ]+")
 
@@ -77,25 +84,39 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Marker-word language guess (n-gram-heuristic class). Counts
-    marker hits per language over the token array (array ops — no
-    explode/shuffle) and takes the argmax with a fixed tie order."""
+    """Marker-word language guess (n-gram-heuristic class). ONE fold
+    over the token array tallies every language's marker hits at once
+    (an array-of-counters accumulator), then a when-chain argmax with a
+    fixed tie order — one pass over the words instead of one
+    interpreted filter per language, and the counter array is bound
+    once so the fold isn't re-evaluated per argmax reference."""
+    langs = list(LANG_MARKERS)  # insertion order is fixed
     w = words_col(F.col(text_col))
+    counts = F.aggregate(
+        w,
+        F.array_repeat(F.lit(0), len(langs)),
+        lambda acc, x: F.zip_with(
+            acc,
+            F.array(*[x.isin(LANG_MARKERS[l]).cast("int") for l in langs]),
+            lambda a, b: a + b,
+        ),
+    )
 
-    def _hit_count(markers: list[str]) -> Column:
-        # NB: F.filter treats a 2-arg lambda as (element, index) — keep
-        # the lambda unary and close over `markers` via this factory.
-        return F.size(F.filter(w, lambda x: x.isin(markers)))
+    def argmax(c: Column) -> Column:
+        # deterministic: strictly-greater wins, earlier language on ties
+        best_lang = F.lit("und")
+        best_hits = F.lit(0)
+        for i, lang in enumerate(langs):
+            hit = F.get(c, i)
+            is_better = hit > best_hits
+            best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+            best_hits = F.when(is_better, hit).otherwise(best_hits)
+        return F.struct(best_lang.alias("lang"), best_hits.alias("hits"))
 
-    hits = {lang: _hit_count(m) for lang, m in LANG_MARKERS.items()}
-    # deterministic argmax: iterate langs in fixed order, strictly-greater wins
-    best_lang = F.lit("und")
-    best_hits = F.lit(0)
-    for lang in LANG_MARKERS:  # insertion order is fixed
-        is_better = hits[lang] > best_hits
-        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
-        best_hits = F.when(is_better, hits[lang]).otherwise(best_hits)
-    return df.withColumns({"lang_guess": best_lang, "lang_guess_hits": best_hits})
+    best = bind_once(counts, argmax)
+    return df.withColumns(
+        {"lang_guess": best["lang"], "lang_guess_hits": best["hits"]}
+    )
 
 
 # Polynomial rolling-hash constants, shared verbatim with the DuckDB
