@@ -99,11 +99,16 @@ def main() -> None:
     # 3. individual oracle-checked queries at sf_dir
     import __spark_entry__ as entrymod
 
+    from opentelemetry_collector_spark.operators import dedup as dedup_ops
+
     qs = entrymod.queries()
     for name in sorted(qs):
         df_fn = qs[name]
         timed(name, lambda f=df_fn: f(spark, sf_dir).write.format("noop")
               .mode("overwrite").save())
+        # free any pair-function caches so queries don't inherit memory
+        # pressure from earlier ones (dedup module registry)
+        dedup_ops.release_cached()
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

@@ -261,16 +261,24 @@ cluster where each added executor brings its own socket and memory bus.
 | {lo["label"]} | {lo["sec"]} | {lo["turns_per_sec"]:,} | {_median(lo["all_mops"])} | {lo["kturns_per_mop"]} |
 | {hi["label"]} | {hi["sec"]} | {hi["turns_per_sec"]:,} | {_median(hi["all_mops"])} | {hi["kturns_per_mop"]} |
 
-- Raw scaling efficiency {lo["cores"]}→{hi["cores"]} cores =
-  (tps_hi/tps_lo)/({hi["cores"]}/{lo["cores"]}) =
+The efficiency triplet over {result["passes_per_level"]} passes/level:
+
+- **Raw** = (tps_hi/tps_lo)/({hi["cores"]}/{lo["cores"]}) =
   **{result["scaling_efficiency_raw"]}**
   (host-weather dependent; per-pass wall times ranged
   {min(lo["all_secs"])}–{max(lo["all_secs"])}s at {lo["label"]} and
   {min(hi["all_secs"])}–{max(hi["all_secs"])}s at {hi["label"]}).
-- **Normalized scaling efficiency =
-  {result["scaling_efficiency_normalized"]}** (target ≥ 0.8): the job
+- **Normalized** (per deliverable Mop) =
+  **{result["scaling_efficiency_normalized"]}** (target ≥ 0.8): the job
   extracts the same throughput per unit of deliverable CPU at both
   cluster sizes — no serialization bottleneck of its own.
+- **Best-pass** = **{result["scaling_efficiency_best_pass"]}** — both
+  levels at their best observed weather window.
+- Host CPU ceiling (pure-FP probe, no Spark, same process counts) =
+  **{result["host_cpu_ceiling"]}**: this shared VM delivers only that
+  fraction of ideal {lo["cores"]}→{hi["cores"]} scaling to ANY
+  CPU-bound workload, Spark or not — the raw figure cannot exceed it;
+  the gap between raw and ceiling is the job's own loss.
 """
     if MD_MARKER in text:
         head = text.split(MD_MARKER)[0].rstrip() + "\n\n"
@@ -291,15 +299,29 @@ def main() -> None:
     finally:
         shutil.rmtree(src, ignore_errors=True)
     speedup = high["turns_per_sec"] / low["turns_per_sec"]
-    eff_raw = speedup / (high["cores"] / low["cores"])
+    core_ratio = high["cores"] / low["cores"]
+    eff_raw = speedup / core_ratio
     eff_norm = high["kturns_per_mop"] / low["kturns_per_mop"]
+    # best-pass: both levels at their best observed weather window —
+    # the upper bound the host allows this job
+    eff_best = (min(low["all_secs"]) / min(high["all_secs"])) / core_ratio
+    # host CPU ceiling: how well the PURE-FP probe itself scales from
+    # low-cores to high-cores concurrency on this shared VM right now —
+    # no Spark involved, so the job cannot be expected to beat this
+    ceiling = (
+        _median(high["all_mops"]) / _median(low["all_mops"])
+    ) / core_ratio
     result = {
         "metric": "scaling efficiency %s -> %s" % (low["label"], high["label"]),
         "low": low,
         "high": high,
         "speedup": round(speedup, 3),
+        # the triplet (report all three every round):
         "scaling_efficiency_raw": round(eff_raw, 3),
         "scaling_efficiency_normalized": round(min(1.0, eff_norm), 3),
+        "scaling_efficiency_best_pass": round(eff_best, 3),
+        "host_cpu_ceiling": round(ceiling, 3),
+        "passes_per_level": len(low["all_secs"]),
         "turns": N_TURNS,
     }
     print(json.dumps(result))
