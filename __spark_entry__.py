@@ -411,10 +411,13 @@ def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN over COMPUTED k-means cells (not the pre-existing label)
-    — the judge-requested real coarse quantizer end-to-end."""
+    — a real coarse quantizer end-to-end. The assignment df feeds both
+    join sides, so it is persisted once (tiny: ids + cells + vectors)
+    instead of re-evaluating the argmin fold per side."""
     from opentelemetry_collector_spark.operators import similarity
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     out, _ = similarity.kmeans_cells(emb, k=8, iters=1)
+    out = out.persist()
     return similarity.ivf_topk(
         out, out.filter(F.col("vec_id") < 10), cell_col="cell"
     )

@@ -138,8 +138,7 @@ def _pipeline(spark, src: str):
     return agg_ops.hourly_sink_accounting(routed)
 
 
-def generate_input(dest: str) -> None:
-    """Materialize the deterministic synthetic transcripts once (untimed)."""
+def _generate_input_worker(dest: str) -> None:
     from opentelemetry_collector_spark.session import get_spark
     from opentelemetry_collector_spark.sources import synth_transcripts
 
@@ -154,6 +153,19 @@ def generate_input(dest: str) -> None:
         partitions=INPUT_PARTITIONS,
     ).write.mode("overwrite").parquet(dest)
     spark.stop()
+
+
+def generate_input(dest: str) -> None:
+    """Materialize the deterministic synthetic transcripts once
+    (untimed) — in a SUBPROCESS so the generator's JVM is fully gone
+    before any timed pass (spark.stop() alone leaves the py4j JVM
+    attached to this process, idling at ~20% of a core through every
+    measurement)."""
+    subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--generate", dest],
+        check=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
 
 
 def worker(which: str, src: str) -> None:
@@ -291,6 +303,10 @@ The efficiency triplet over {result["passes_per_level"]} passes/level:
 def main() -> None:
     if len(sys.argv) >= 4 and sys.argv[1] == "--worker":
         worker(sys.argv[2], sys.argv[3])
+        return
+    if len(sys.argv) >= 3 and sys.argv[1] == "--generate":
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        _generate_input_worker(sys.argv[2])
         return
     src = tempfile.mkdtemp(prefix="otelcol_scaling_input_")
     try:

@@ -104,9 +104,16 @@ class CheckpointStore:
     # -- queryable lineage tables --------------------------------------
     def write_lineage_table(self, spark, catalog) -> tuple[int, int]:
         """Flatten every acked stage's per-partition / per-file lineage
-        into the ``lineage`` and ``file_stats`` warehouse tables (one
-        small overwrite each — idempotent like every sink write).
-        Returns (lineage_rows, file_rows)."""
+        into the ``lineage`` and ``file_stats`` warehouse tables.
+
+        The rows are driver-side metadata (O(stages × partitions) —
+        hundreds, not data-scale), so they are written directly with
+        pyarrow rather than a Spark job: this is exactly how Iceberg
+        commits manifests (driver-side metadata files alongside the
+        data), and it avoids ~5-8s of Spark fixed cost per tiny write
+        (a createDataFrame→parquet round-trip spins Python workers for
+        a 165-row table). spark.read.parquet reads them like any other
+        warehouse table. Returns (lineage_rows, file_rows)."""
         lineage_rows, file_rows = [], []
         for m in self.metrics():
             for p in m.get("partitions", []):
@@ -123,21 +130,15 @@ class CheckpointStore:
                      int(fr["rows"]), int(fr["bytes"]))
                 )
         if lineage_rows:
-            catalog.overwrite(
-                "lineage",
-                spark.createDataFrame(
-                    lineage_rows,
-                    "run_id string, stage string, part_id int, rows bigint, "
-                    "bytes bigint, wall_ms bigint",
-                ).coalesce(1),
+            catalog.overwrite_local(
+                "lineage", lineage_rows,
+                [("run_id", "string"), ("stage", "string"), ("part_id", "int32"),
+                 ("rows", "int64"), ("bytes", "int64"), ("wall_ms", "int64")],
             )
         if file_rows:
-            catalog.overwrite(
-                "file_stats",
-                spark.createDataFrame(
-                    file_rows,
-                    "run_id string, stage string, file string, rows bigint, "
-                    "bytes bigint",
-                ).coalesce(1),
+            catalog.overwrite_local(
+                "file_stats", file_rows,
+                [("run_id", "string"), ("stage", "string"), ("file", "string"),
+                 ("rows", "int64"), ("bytes", "int64")],
             )
         return len(lineage_rows), len(file_rows)

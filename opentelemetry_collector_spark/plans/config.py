@@ -290,6 +290,13 @@ def run(
     Returns per-exporter row counts (obsconsumer accounting). Connector
     outputs consumed more than once are persisted (single cached parent
     per fan-out, fanoutconsumer/logs.go:21-77) and released after run.
+
+    Every table write is an idempotent deterministic overwrite
+    (re-running a config converges; sinks/tables.py), but this runner
+    does not ack stages in a checkpoint store — the flagship
+    run_pipeline is the checkpointed/resumable path; a config-driven
+    variant with per-exporter acks is a natural extension over the same
+    CheckpointStore.
     """
     from pyspark.sql import Observation
 

@@ -197,14 +197,17 @@ def run_pipeline(
                     {"part_id": r["part_id"], "rows": r["rows"], "bytes": r["bytes"]}
                 )
 
-        # quarantine sink (permanent-error rows; F7)
+        # quarantine sink (permanent-error rows; F7). Write first; the
+        # per-partition aggregation over `bad` (a full re-parse — bad
+        # rows aren't in the cached routed parent) runs ONLY when the
+        # quarantine is non-empty, so the clean path pays nothing.
         def _quarantine() -> tuple[int, int, dict]:
-            qlin = [
+            n = _write_counted(catalog, "quarantine", bad.drop("attrs"),
+                               max_records_per_file=send_batch_max_size)
+            qlin = [] if n == 0 else [
                 {"part_id": r["part_id"], "rows": r["rows"], "bytes": r["bytes"]}
                 for r in lineage_ops.logical_lineage(bad, keys=[]).collect()
             ]
-            n = _write_counted(catalog, "quarantine", bad.drop("attrs"),
-                               max_records_per_file=send_batch_max_size)
             return n, n, {
                 "partitions": qlin,
                 "files": lineage_ops.file_lineage(catalog.path("quarantine")),

@@ -19,6 +19,7 @@ downstream readers get uniform splits.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -46,6 +47,30 @@ class TableCatalog:
 
     def append(self, table: str, df: DataFrame) -> None:
         df.write.mode("append").parquet(self.path(table))
+
+    def overwrite_local(
+        self, table: str, rows: list[tuple], schema: list[tuple[str, str]]
+    ) -> None:
+        """Driver-side metadata table write (pyarrow, no Spark job) —
+        for tiny O(stages) tables like lineage/file_stats, the way
+        Iceberg writes manifest metadata alongside data files. Atomic
+        via write-then-rename of the whole directory."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        arrays = {
+            name: pa.array([r[i] for r in rows], type=getattr(pa, typ)())
+            for i, (name, typ) in enumerate(schema)
+        }
+        target = self.path(table)
+        tmp = target + "._tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
+        pq.write_table(pa.table(arrays), os.path.join(tmp, "part-00000.parquet"))
+        with open(os.path.join(tmp, "_SUCCESS"), "w"):
+            pass
+        shutil.rmtree(target, ignore_errors=True)
+        os.replace(tmp, target)
 
     def read(self, table: str) -> DataFrame:
         return self.spark.read.parquet(self.path(table))

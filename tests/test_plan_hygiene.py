@@ -1,0 +1,66 @@
+"""Physical-plan hygiene: the shapes the 100 TB argument rests on,
+asserted from explain() output so regressions are caught at test time
+(the bench only shows them as slowdowns)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_top_convs_plans_distributed_topk(spark, sf_dir):
+    """top_conversations must plan TakeOrderedAndProject (distributed
+    per-partition top-k) and NO WindowExec — the round-1 global-window
+    scale-killer stays dead."""
+    from opentelemetry_collector_spark.operators.windows import top_conversations
+    from opentelemetry_collector_spark.sources import derive_transcripts
+
+    plan = _plan(top_conversations(derive_transcripts(spark, sf_dir), 10))
+    assert "TakeOrderedAndProject" in plan
+    assert "WindowExec" not in plan and "Window " not in plan
+
+
+def test_enrich_join_is_broadcast_in_flagship_plan(spark, sf_dir):
+    from opentelemetry_collector_spark.operators import enrich as enrich_ops
+    from opentelemetry_collector_spark.operators import parse as parse_ops
+    from opentelemetry_collector_spark.sources import (
+        derive_transcripts,
+        role_lookup_df,
+        tool_lookup_df,
+    )
+
+    df = enrich_ops.enrich_stage(
+        parse_ops.parse_stage(derive_transcripts(spark, sf_dir)),
+        tool_lookup_df(spark),
+        role_lookup_df(spark),
+    )
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_proto_size_stays_in_codegen(spark, sf_dir):
+    """The proto sizer must be pure codegen'd column math — no
+    BatchEvalPython / ArrowEvalPython anywhere in its plan."""
+    import __spark_entry__ as m
+
+    plan = _plan(m.q_proto_size(spark, sf_dir))
+    # the sizer itself adds no Python eval node and no aggregation —
+    # it rides the projection over the (derived-transcripts) scan. AQE
+    # wraps the plan so codegen spans aren't printed until execution;
+    # absence of EvalPython is the property that matters.
+    assert "EvalPython" not in plan
+    assert "Scan parquet" in plan
+
+
+def test_lineage_aggregation_is_partial(spark, sf_dir):
+    """logical_lineage must plan a two-phase hash aggregate (map-side
+    partial_count/partial_sum before the shuffle)."""
+    import __spark_entry__ as m
+
+    plan = _plan(m.q_lineage(spark, sf_dir))
+    assert "HashAggregate" in plan
+    assert "partial_count" in plan or "partial" in plan
