@@ -423,6 +423,22 @@ def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup with the COMPUTED k-means cell as the coarse
+    cell function (the scale-path wiring of dedup ⇄ quantizer): cells
+    from similarity.kmeans_cells over the augmented corpus, then the
+    cell-local cosine join. Fully value-oracled including the iterative
+    centroid math."""
+    from opentelemetry_collector_spark.operators import dedup, similarity
+    out, _ = similarity.kmeans_cells(
+        _emb_aug(spark, sf_dir), k=8, iters=1, id_col="id", vec_col="v"
+    )
+    out = out.persist()
+    return dedup.embedding_neardup_pairs(
+        out, id_col="id", vec_col="v", cell_col="cell"
+    )
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from opentelemetry_collector_spark.operators import similarity
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -498,6 +514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "kmeans_cells": q_kmeans_cells,
         "ann_ivf_kmeans": q_ann_ivf_kmeans,
+        "dedup_embedding_kmeans": q_dedup_embedding_kmeans,
         "token_count": q_token_count,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
@@ -878,6 +895,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kmeans_cells": sqltext.kmeans_cells_cte()
         + "SELECT vec_id, cell FROM kcells",
+        "dedup_embedding_kmeans": sqltext.kmeans_cells_cte(
+            emb_sql=f"SELECT id AS vec_id, v FROM ({sqltext.EMB_AUG_SQL})"
+        )
+        + """,
+            cellv AS (
+              SELECT e.vec_id AS id, kc.cell, e.v
+              FROM emb e JOIN kcells kc USING (vec_id)
+            )
+            SELECT id_a, id_b, cos FROM (
+              SELECT a.id AS id_a, b.id AS id_b,
+                     round(list_dot_product(a.v, b.v) /
+                           (sqrt(list_dot_product(a.v, a.v)) *
+                            sqrt(list_dot_product(b.v, b.v))), 4) AS cos
+              FROM cellv a JOIN cellv b ON a.cell = b.cell AND a.id < b.id
+            ) WHERE cos >= 0.99
+        """,
         "ann_ivf_kmeans": sqltext.kmeans_cells_cte()
         + """,
             q AS (

@@ -242,19 +242,24 @@ def minhash_sig_sql_list(n_hashes: int = 12) -> str:
     ) + "]"
 
 
-def kmeans_cells_cte(k: int = 8, dim: int = 64) -> str:
+def kmeans_cells_cte(k: int = 8, dim: int = 64, emb_sql: str | None = None) -> str:
     """DuckDB CTE chain reproducing similarity.kmeans_cells (iters=1)
     bit-for-bit: id-ordered seeds, rounded+tie-broken argmin assignment,
     exact DECIMAL(20,8) centroid sums cast to double / count. Ends with
-    ``kcells(vec_id, cell)``; append the consuming SELECT."""
+    ``kcells(vec_id, cell)``; append the consuming SELECT. ``emb_sql``
+    overrides the vector source (must yield (vec_id, v double[]))."""
+    if emb_sql is None:
+        emb_sql = (
+            "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))"
+            " AS v FROM embeddings"
+        )
     dist = (
         "round(list_sum(list_transform(generate_series(1,{dim}), "
         "i -> (e.v[i]-s.v[i])*(e.v[i]-s.v[i]))), 6)"
     ).format(dim=dim)
     return f"""
         WITH emb AS (
-          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-          FROM embeddings
+          {emb_sql}
         ),
         seeds AS (
           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v
