@@ -531,14 +531,20 @@ def embedding_neardup_pairs(
     cell_col: str = "label",
     threshold: float = 0.99,
     max_cell: int = 10_000,
+    score_path: str = "arrow",
 ) -> DataFrame:
     """Embedding-cosine near-dup within a coarse cell (label here, or
     the deterministic k-means assignment of similarity.kmeans_cells at
     scale) — the join is cell-local, never all-pairs. Cells larger than
     ``max_cell`` are dropped (logged): a hot cell is quadratic within
     itself, and at web scale one collapsed cell (all-zero embeddings,
-    a template cluster) would dominate the job."""
-    from opentelemetry_collector_spark.operators.similarity import cosine_expr
+    a template cluster) would dominate the job. ``score_path``: the
+    candidate-pair cosine runs vectorized (arrow, default) or as the
+    Catalyst fold (native) — bit-identical either way."""
+    from opentelemetry_collector_spark.operators.similarity import (
+        cosine_expr,
+        cosine_rounded_arrow,
+    )
 
     v = df.select(
         F.col(id_col).alias("id"),
@@ -548,13 +554,17 @@ def embedding_neardup_pairs(
     v = _persist(v)
     v = _cap_buckets(v, ["cell"], max_cell, "embedding_neardup_pairs")
     a, b = v.alias("a"), v.alias("b")
-    cos = cosine_expr(F.col("a.v"), F.col("b.v"))
+    cos = (
+        cosine_rounded_arrow(4)(F.col("a.v"), F.col("b.v"))
+        if score_path == "arrow"
+        else F.round(cosine_expr(F.col("a.v"), F.col("b.v")), 4)
+    )
     return (
         a.join(b, (F.col("a.cell") == F.col("b.cell")) & (F.col("a.id") < F.col("b.id")))
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.round(cos, 4).alias("cos"),
+            cos.alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )

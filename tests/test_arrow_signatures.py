@@ -61,3 +61,35 @@ def test_pair_functions_same_result_under_both_paths(spark, sf_dir):
         n = set(map(tuple, fn(df, signature="native").collect()))
         assert a == n, fn.__name__
     dedup.release_cached()
+
+
+def test_kmeans_assignment_arrow_equals_native(spark, sf_dir):
+    """Arrow argmin kernel must assign every vector to the same cell as
+    the Catalyst fold (IEEE operation order replicated dim-by-dim)."""
+    from opentelemetry_collector_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out_a, cents_a = similarity.kmeans_cells(emb, k=8, iters=1, assign_path="arrow")
+    out_n, cents_n = similarity.kmeans_cells(emb, k=8, iters=1, assign_path="native")
+    assert cents_a == cents_n  # identical centroid evolution
+    a = {r["vec_id"]: r["cell"] for r in out_a.collect()}
+    n = {r["vec_id"]: r["cell"] for r in out_n.collect()}
+    assert a == n
+
+
+def test_embedding_pairs_same_under_both_score_paths(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select(F.col("vec_id").alias("id"), "label", dbl.alias("v"))
+    copies = emb.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 500000).alias("id"), "label", dbl.alias("v")
+    )
+    df = base.unionByName(copies)
+    a = set(map(tuple, dedup.embedding_neardup_pairs(
+        df, id_col="id", vec_col="v", score_path="arrow").collect()))
+    n = set(map(tuple, dedup.embedding_neardup_pairs(
+        df, id_col="id", vec_col="v", score_path="native").collect()))
+    assert a == n and len(a) > 0
+    dedup.release_cached()
