@@ -41,7 +41,9 @@ def main(argv: list[str] | None = None) -> int:
         if args.config:
             from opentelemetry_collector_spark.plans.config import run_config_file
 
-            counts = run_config_file(args.config, spark, args.warehouse)
+            counts = run_config_file(
+                args.config, spark, args.warehouse, run_id=args.run_id
+            )
             print(json.dumps({
                 "mode": "config",
                 "config": args.config,

@@ -283,6 +283,7 @@ def run(
     spark: SparkSession,
     warehouse: str,
     max_records_per_file: int = 0,
+    run_id: str | None = None,
 ) -> dict[str, int]:
     """Execute the graph: pipelines in topo order, connectors carrying
     lazy sub-plans between them, one write action per table exporter.
@@ -292,18 +293,23 @@ def run(
     per fan-out, fanoutconsumer/logs.go:21-77) and released after run.
 
     Every table write is an idempotent deterministic overwrite
-    (re-running a config converges; sinks/tables.py), but this runner
-    does not ack stages in a checkpoint store — the flagship
-    run_pipeline is the checkpointed/resumable path; a config-driven
-    variant with per-exporter acks is a natural extension over the same
-    CheckpointStore.
+    (re-running a config converges; sinks/tables.py). With ``run_id``
+    set, each table exporter's write is ACKED in the same CheckpointStore
+    the flagship uses — re-running the config with the same run_id skips
+    completed exporters (at-least-once execution + idempotent commit =
+    effectively-once, persistent_queue.go:321-428).
     """
     from pyspark.sql import Observation
 
+    from opentelemetry_collector_spark.plans.checkpoint import (
+        CheckpointStore,
+        StageMetric,
+    )
     from opentelemetry_collector_spark.sinks.tables import TableCatalog
 
     cfg = graph.config
     catalog = TableCatalog(spark, warehouse)
+    ckpt = CheckpointStore(warehouse, run_id) if run_id else None
 
     # connector id -> list of upstream DataFrames (exporter side)
     conn_inputs: dict[str, list[DataFrame]] = {c: [] for c in cfg.connectors}
@@ -367,6 +373,17 @@ def run(
                 t = _ctype(e)
                 opts = cfg.exporters[e] or {}
                 if t == "table":
+                    # "/" in component ids would nest checkpoint files
+                    stage = f"{pname}:{e}".replace("/", "_")
+                    if ckpt is not None and ckpt.is_done(stage):
+                        counts[e] = next(
+                            m["rows_out"] for m in ckpt.metrics()
+                            if m["stage"] == stage
+                        )
+                        continue
+                    import time as _time
+
+                    t0 = _time.monotonic()
                     obs = Observation(f"cfg_{pname}_{e}")
                     catalog.overwrite(
                         opts.get("table", e.replace("/", "_")),
@@ -374,6 +391,13 @@ def run(
                         max_records_per_file=max_records_per_file,
                     )
                     counts[e] = obs.get["n"]
+                    if ckpt is not None:
+                        ckpt.commit(stage, StageMetric(
+                            run_id=ckpt.run_id, stage=stage,
+                            rows_in=counts[e], rows_out=counts[e],
+                            wall_ms=int((_time.monotonic() - t0) * 1000),
+                            extra={"exporter": e, "pipeline": pname},
+                        ))
                 elif t == "debug":
                     from opentelemetry_collector_spark.sinks.tables import debug_format
 

@@ -175,3 +175,20 @@ def test_attributes_processor_from_config(spark, sf_dir, tmp_path):
     out = TableCatalog(spark, str(tmp_path / "wha")).read("out_a")
     row = out.select(F.map_keys("attrs").alias("ks")).first()
     assert "env" in row["ks"] and "msg" not in row["ks"]
+
+
+def test_config_run_with_checkpoint_resume(spark, sf_dir, tmp_path):
+    """run_id-gated config execution: a second run with the same run_id
+    skips every already-acked exporter (returning its acked counts)."""
+    import time
+
+    cfg = ServiceConfig.from_file(os.path.join(REPO, "configs", "flagship.yaml"))
+    cfg.receivers["transcripts"]["sf_dir"] = str(sf_dir)
+    wh = str(tmp_path / "whr")
+    counts1 = run(build(cfg), spark, wh, run_id="cfgrun")
+    t0 = time.monotonic()
+    counts2 = run(build(cfg), spark, wh, run_id="cfgrun")
+    resumed = time.monotonic() - t0
+    assert counts1 == counts2
+    # all-skip path runs no Spark jobs — well under a second
+    assert resumed < 2.0, resumed
