@@ -73,15 +73,24 @@ def cosine_rounded_arrow(digits: int = 4):
     return cos
 
 
+def _cos_rounded(a: Column, b: Column, score_path: str) -> Column:
+    if score_path == "arrow":
+        return cosine_rounded_arrow(4)(a, b)
+    return F.round(cosine_expr(a, b), 4)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    score_path: str = "arrow",
 ) -> DataFrame:
     """Exact top-k by cosine; ties broken by neighbor id for full
-    determinism. Queries are broadcast (small side by construction)."""
+    determinism. Queries are broadcast (small side by construction).
+    ``score_path``: vectorized (arrow, default) or Catalyst-fold cosine
+    — bit-identical (see cosine_rounded_arrow)."""
     c = corpus.select(
         F.col(id_col).alias("nbr_id"), _as_double(F.col(vec_col)).alias("cv")
     )
@@ -91,7 +100,7 @@ def brute_force_topk(
     scored = c.join(F.broadcast(q), F.col("query_id") != F.col("nbr_id")).select(
         "query_id",
         "nbr_id",
-        F.round(cosine_expr(F.col("qv"), F.col("cv")), 4).alias("cos"),
+        _cos_rounded(F.col("qv"), F.col("cv"), score_path).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("nbr_id"))
     return (
@@ -235,6 +244,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cell_col: str = "label",
+    score_path: str = "arrow",
 ) -> DataFrame:
     """IVF-style ANN: search only the query's coarse cell. Recall < 1.0
     by design; the probe count (here 1 cell) is the recall/cost knob."""
@@ -254,7 +264,7 @@ def ivf_topk(
     ).select(
         "query_id",
         "nbr_id",
-        F.round(cosine_expr(F.col("qv"), F.col("cv")), 4).alias("cos"),
+        _cos_rounded(F.col("qv"), F.col("cv"), score_path).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("nbr_id"))
     return (
