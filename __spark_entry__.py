@@ -451,6 +451,59 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 10))
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the IVF probe against the exact brute-force top-k,
+    per query — the measured value of the IVF recall/cost knob (probe=1
+    cell). Pure composition of the two ANN plans + an inner join; the
+    whole metric is value-oracled."""
+    from opentelemetry_collector_spark.operators import similarity
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.brute_force_topk(emb, queries).select(
+        "query_id", F.col("nbr_id").alias("e_nbr")
+    )
+    ivf = similarity.ivf_topk(emb, queries).select(
+        "query_id", F.col("nbr_id").alias("i_nbr")
+    )
+    hits = exact.join(
+        ivf,
+        (exact["query_id"] == ivf["query_id"]) & (F.col("e_nbr") == F.col("i_nbr")),
+    ).groupBy(exact["query_id"].alias("query_id")).agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return (
+        exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("k"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id", "k",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            F.round(F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("k"), 4)
+            .alias("recall"),
+        )
+    )
+
+
+def q_latency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit-bucket histogram over latency_ms per tool — the
+    metrics-style histogram aggregation (explicit bounds, closed-open
+    buckets) applied to the log-derived latency attribute."""
+    bounds = [0, 10, 50, 100, 500, 1000, 5000]
+    df = _parsed(spark, sf_dir).filter(F.col("latency_ms").isNotNull())
+    bucket = F.lit(f">={bounds[-1]}")
+    for lo, hi in zip(reversed(bounds[:-1]), reversed(bounds[1:])):
+        bucket = F.when(
+            F.col("latency_ms") < hi, F.lit(f"[{lo},{hi})")
+        ).otherwise(bucket)
+    bucket = F.when(F.col("latency_ms") < bounds[0], F.lit("<0")).otherwise(bucket)
+    return (
+        df.groupBy(F.col("tool"), bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("latency_ms"), 4).alias("avg_ms"),
+        )
+    )
+
+
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from opentelemetry_collector_spark.operators import textstats
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -512,6 +565,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
+        "ann_recall": q_ann_recall,
+        "latency_histogram": q_latency_histogram,
         "kmeans_cells": q_kmeans_cells,
         "ann_ivf_kmeans": q_ann_ivf_kmeans,
         "dedup_embedding_kmeans": q_dedup_embedding_kmeans,
@@ -937,6 +992,67 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             )
             SELECT query_id, rank, nbr_id, cos FROM ranked WHERE rank <= 5
+        """,
+        "ann_recall": """
+            WITH q AS (
+              SELECT vec_id AS query_id, label AS qcell,
+                     CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id < 10
+            ),
+            c AS (
+              SELECT vec_id AS nbr_id, label AS cell,
+                     CAST(embedding AS DOUBLE[]) AS cv
+              FROM embeddings
+            ),
+            exact AS (
+              SELECT query_id, nbr_id FROM (
+                SELECT query_id, nbr_id, row_number() OVER (
+                  PARTITION BY query_id ORDER BY
+                    round(list_dot_product(qv, cv) /
+                          (sqrt(list_dot_product(qv, qv)) *
+                           sqrt(list_dot_product(cv, cv))), 4) DESC,
+                    nbr_id ASC) AS rank
+                FROM c, q WHERE query_id != nbr_id
+              ) WHERE rank <= 5
+            ),
+            ivf AS (
+              SELECT query_id, nbr_id FROM (
+                SELECT query_id, nbr_id, row_number() OVER (
+                  PARTITION BY query_id ORDER BY
+                    round(list_dot_product(qv, cv) /
+                          (sqrt(list_dot_product(qv, qv)) *
+                           sqrt(list_dot_product(cv, cv))), 4) DESC,
+                    nbr_id ASC) AS rank
+                FROM c JOIN q ON cell = qcell AND query_id != nbr_id
+              ) WHERE rank <= 5
+            ),
+            hits AS (
+              SELECT e.query_id, count(*) AS n_hits
+              FROM exact e JOIN ivf i
+                ON e.query_id = i.query_id AND e.nbr_id = i.nbr_id
+              GROUP BY 1
+            )
+            SELECT ks.query_id, ks.k,
+                   COALESCE(h.n_hits, 0) AS n_hits,
+                   round(COALESCE(h.n_hits, 0) / ks.k, 4) AS recall
+            FROM (SELECT query_id, count(*) AS k FROM exact GROUP BY 1) ks
+            LEFT JOIN hits h USING (query_id)
+        """,
+        "latency_histogram": f"""
+            {p}
+            SELECT tool,
+                   CASE WHEN latency_ms < 0 THEN '<0'
+                        WHEN latency_ms < 10 THEN '[0,10)'
+                        WHEN latency_ms < 50 THEN '[10,50)'
+                        WHEN latency_ms < 100 THEN '[50,100)'
+                        WHEN latency_ms < 500 THEN '[100,500)'
+                        WHEN latency_ms < 1000 THEN '[500,1000)'
+                        WHEN latency_ms < 5000 THEN '[1000,5000)'
+                        ELSE '>=5000' END AS bucket,
+                   count(*) AS n,
+                   round(avg(latency_ms), 4) AS avg_ms
+            FROM parsed WHERE latency_ms IS NOT NULL
+            GROUP BY 1, 2
         """,
         "ann_topk": """
             WITH q AS (
