@@ -331,6 +331,13 @@ def q_top_convs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windows.top_conversations(_transcripts(spark, sf_dir), 10)
 
 
+def q_top_convs_per_tool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opentelemetry_collector_spark.operators import windows
+    return windows.top_conversations_per_group(
+        _transcripts(spark, sf_dir), group_col="tool", k=3
+    )
+
+
 def q_metadata_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     # multi-shard batch accounting over (role, tool) metadata keys (A2)
     return agg_ops.grouped_item_counts(_transcripts(spark, sf_dir), ["role", "tool"])
@@ -552,6 +559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "otlp_json": q_otlp_json,
         "proto_size": q_proto_size,
         "lineage": q_lineage,
+        "top_convs_per_tool": q_top_convs_per_tool,
         "union_sinks": q_union_sinks,
         "turn_order": q_turn_order,
         "conv_stats": q_conv_stats,
@@ -765,6 +773,16 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS "rows",
                    CAST(sum(strlen(text)) AS BIGINT) AS bytes
             FROM parsed WHERE parse_ok GROUP BY 1, 2
+        """,
+        "top_convs_per_tool": f"""
+            {t}
+            SELECT tool, conv_id, n_turns, CAST(rank AS INT) AS rank FROM (
+              SELECT tool, conv_id, count(*) AS n_turns,
+                     row_number() OVER (
+                       PARTITION BY tool
+                       ORDER BY count(*) DESC, conv_id ASC) AS rank
+              FROM transcripts GROUP BY tool, conv_id
+            ) WHERE rank <= 3
         """,
         "union_sinks": f"""
             {p}

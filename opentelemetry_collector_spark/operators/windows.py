@@ -92,6 +92,25 @@ def session_window_stats(df: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def top_conversations_per_group(
+    df: DataFrame, group_col: str = "tool", k: int = 3
+) -> DataFrame:
+    """Top-k conversations by turn count WITHIN each group — the
+    partitioned-window shape (rank runs inside each group's partition,
+    so it distributes by construction; contrast the global top-k above,
+    which needs TakeOrderedAndProject instead)."""
+    counts = df.groupBy(group_col, "conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns")
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("n_turns").desc(), F.col("conv_id").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def top_conversations(df: DataFrame, k: int = 10) -> DataFrame:
     """Top-k conversations by turn count, conv_id tiebreak.
 

@@ -90,7 +90,8 @@ def windowed_accounting(routed: DataFrame, watermark: str = "2 hours",
     )
 
 
-def route_sink_writer(warehouse: str, sinks: list[str] | None = None):
+def route_sink_writer(warehouse: str, sinks: list[str] | None = None,
+                      edge_metrics: bool = True):
     """foreachBatch fan-out: per-micro-batch routed append to per-sink
     tables (fanoutconsumer per micro-batch; Spark's offset log + this
     append being idempotent per epoch gives effectively-once).
@@ -101,20 +102,52 @@ def route_sink_writer(warehouse: str, sinks: list[str] | None = None):
     iterates that list: zero driver round-trips per micro-batch. The
     previous ``select("route").distinct().collect()`` added a full
     extra aggregation + driver sync to every micro-batch in the hot
-    path for information the config already holds."""
+    path for information the config already holds.
+
+    ``edge_metrics``: per-(epoch, sink) item/byte counters ride each
+    append via an Observation (the streaming face of the A6 obsconsumer
+    edge telemetry) and land as driver-side JSON-lines under
+    ``_edge_metrics/`` — one tiny local write per epoch, no extra Spark
+    action."""
+    import json
+    import os
+
+    from pyspark.sql import Observation
+
     from opentelemetry_collector_spark.sqltext import SINK_NAMES
 
     sink_list = sinks or SINK_NAMES
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         batch_df.persist()
+        metrics = []
         try:
             for sink in sink_list:
-                (
-                    batch_df.filter(F.col("route") == sink)
-                    .write.mode("append")
-                    .parquet(f"{warehouse}/{sink}")
-                )
+                branch = batch_df.filter(F.col("route") == sink)
+                if edge_metrics:
+                    obs = Observation(f"edge_{epoch_id}_{sink}")
+                    branch = branch.observe(
+                        obs,
+                        F.count(F.lit(1)).alias("rows"),
+                        F.coalesce(
+                            F.sum(F.octet_length("text")), F.lit(0)
+                        ).alias("bytes"),
+                    )
+                branch.write.mode("append").parquet(f"{warehouse}/{sink}")
+                if edge_metrics:
+                    got = obs.get
+                    metrics.append(
+                        {"epoch": epoch_id, "sink": sink,
+                         "rows": got["rows"], "bytes": got["bytes"]}
+                    )
+            if edge_metrics:
+                d = os.path.join(warehouse, "_edge_metrics")
+                os.makedirs(d, exist_ok=True)
+                tmp = os.path.join(d, f"epoch-{epoch_id:08d}.json.tmp")
+                with open(tmp, "w") as f:
+                    for m in metrics:
+                        f.write(json.dumps(m) + "\n")
+                os.replace(tmp, tmp[:-4])
         finally:
             batch_df.unpersist()
 

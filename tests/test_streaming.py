@@ -101,3 +101,45 @@ def test_stateful_conversation_tracker(spark, sf_dir, tmp_path):
     # multiple micro-batches really happened (state crossed batches)
     n_updates = spark.sql("SELECT count(*) FROM conv_state").collect()[0][0]
     assert n_updates > truth.count()
+
+
+def test_streaming_edge_metrics(spark, sf_dir, tmp_path):
+    """Per-(epoch, sink) item/byte counters land under _edge_metrics and
+    reconcile with what actually reached the sink tables (A6's streaming
+    face; counters ride the appends via Observation, no extra action)."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_spark.sources import derive_transcripts
+    from opentelemetry_collector_spark.streaming import stream as ss
+
+    src = str(tmp_path / "src")
+    wh = str(tmp_path / "wh")
+    derive_transcripts(spark, sf_dir).write.mode("overwrite").parquet(src)
+    routed = ss.transform(ss.stream_transcripts(spark, src, max_files=4), spark)
+    q = (
+        routed.writeStream.foreachBatch(ss.route_sink_writer(wh))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    md = os.path.join(wh, "_edge_metrics")
+    recs = []
+    for fn in sorted(os.listdir(md)):
+        with open(os.path.join(md, fn)) as f:
+            recs += [json.loads(line) for line in f]
+    assert len({r["epoch"] for r in recs}) >= 1
+    per_sink = {}
+    for r in recs:
+        per_sink[r["sink"]] = per_sink.get(r["sink"], 0) + r["rows"]
+        assert r["bytes"] >= 0
+    for sink, n in per_sink.items():
+        if n:
+            got = spark.read.parquet(os.path.join(wh, sink)).count()
+            assert got == n, (sink, got, n)
+    assert sum(per_sink.values()) == derive_transcripts(spark, sf_dir).filter(
+        F.lit(True)).count()
