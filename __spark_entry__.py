@@ -185,6 +185,13 @@ def q_render_asstring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_debug_detailed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debug exporter detailed verbosity (S5): the otlptext field dump
+    per record (debugfmt.detailed_block)."""
+    from opentelemetry_collector_spark.operators import debugfmt
+    return debugfmt.detailed_block(_parsed(spark, sf_dir))
+
+
 def q_parse_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quarantine taxonomy (F7): deterministically corrupt every 13th
     turn's text, parse, and classify the failures — permanent-error rows
@@ -554,6 +561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attr_ops": q_attr_ops,
         "attrs_json": q_attrs_json,
         "debug_normal": q_debug_normal,
+        "debug_detailed": q_debug_detailed,
         "render_asstring": q_render_asstring,
         "parse_errors": q_parse_errors,
         "otlp_json": q_otlp_json,
@@ -685,6 +693,32 @@ def oracle_sql() -> dict[str, str]:
               'bytes=' || CAST(bytes AS VARCHAR),
               'msg=' || msg,
               'tool=' || tool_parsed) AS line
+            FROM parsed
+        """,
+        "debug_detailed": f"""
+            {p}
+            SELECT conv_id, turn_idx,
+                   concat_ws(chr(10),
+                     'LogRecord',
+                     'Timestamp: ' || strftime(ts, '%Y-%m-%d %H:%M:%S'),
+                     'SeverityText: ' ||
+                       CASE WHEN severity_num = 17 THEN 'ERROR'
+                            WHEN severity_num = 13 THEN 'WARN'
+                            WHEN severity_num = 9 THEN 'INFO' ELSE '' END,
+                     'SeverityNumber: ' ||
+                       CASE WHEN severity_num = 17 THEN 'Error'
+                            WHEN severity_num = 13 THEN 'Warn'
+                            WHEN severity_num = 9 THEN 'Info'
+                            ELSE 'Unspecified' END ||
+                       '(' || CAST(severity_num AS VARCHAR) || ')',
+                     CASE WHEN nullif(event_kind, '') IS NOT NULL
+                          THEN 'EventName: ' || event_kind END,
+                     'Body: Str(' || text || ')',
+                     'Attributes:',
+                     '     -> msg: Str(' || msg || ')',
+                     '     -> status: Str(' || CAST(status_code AS VARCHAR) || ')',
+                     '     -> tool: Str(' || tool_parsed || ')'
+                   ) AS block
             FROM parsed
         """,
         "render_asstring": f"""

@@ -32,6 +32,51 @@ def _frag(key: str, value: Column) -> Column:
     return F.concat(F.lit(key + "="), value)
 
 
+_SEV_NAMES = {9: "Info", 13: "Warn", 17: "Error"}
+
+
+def detailed_block(parsed: DataFrame) -> DataFrame:
+    """Detailed verbosity: one multi-line block per record, the otlptext
+    marshaler's field dump (exporter/debugexporter/internal/otlptext/
+    logs.go:35-50 — Timestamp / SeverityText / SeverityNumber name(n) /
+    EventName when set / Body: Str(...) / indented attribute lines).
+    Timestamps render ISO (engine-native) rather than Go's time format;
+    field order and presence rules follow the reference."""
+    sev_name = F.lit("Unspecified")
+    for n, nm in _SEV_NAMES.items():
+        sev_name = F.when(F.col("severity_num") == n, F.lit(nm)).otherwise(sev_name)
+    sev_text = (
+        F.when(F.col("severity_num") == 17, "ERROR")
+        .when(F.col("severity_num") == 13, "WARN")
+        .when(F.col("severity_num") == 9, "INFO")
+        .otherwise("")
+    )
+
+    def attr_line(key: str, value: Column) -> Column:
+        return F.concat(F.lit(f"     -> {key}: Str("), value, F.lit(")"))
+
+    block = F.concat_ws(
+        "\n",
+        F.lit("LogRecord"),
+        F.concat(F.lit("Timestamp: "),
+                 F.date_format("ts", "yyyy-MM-dd HH:mm:ss")),
+        F.concat(F.lit("SeverityText: "), sev_text),
+        F.concat(F.lit("SeverityNumber: "), sev_name,
+                 F.lit("("), F.col("severity_num").cast("string"), F.lit(")")),
+        # EventName printed only when set (logs.go:42-44)
+        F.when(
+            F.nullif(F.col("event_kind"), F.lit("")).isNotNull(),
+            F.concat(F.lit("EventName: "), F.col("event_kind")),
+        ),
+        F.concat(F.lit("Body: Str("), F.col("text"), F.lit(")")),
+        F.lit("Attributes:"),
+        attr_line("msg", F.col("msg")),
+        attr_line("status", F.col("status_code").cast("string")),
+        attr_line("tool", F.col("tool_parsed")),
+    )
+    return parsed.select("conv_id", "turn_idx", block.alias("block"))
+
+
 def normal_lines(parsed: DataFrame) -> DataFrame:
     """parsed transcripts → (conv_id, turn_idx, line)."""
     line = F.concat_ws(
