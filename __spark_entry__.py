@@ -220,16 +220,28 @@ def q_otlp_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     string per the protobuf-JSON mapping of uint64), then decode with
     from_json and return the decoded fields. The wire string is built
     with concat identically in Spark and DuckDB so both engines decode
-    byte-identical input. String payloads are JSON-escaped (backslash
-    then quote — literal replace, same order both engines), so quotes
-    and backslashes in text survive the round-trip instead of NULLing
-    the decode."""
-    df = _parsed(spark, sf_dir)
+    byte-identical input. String payloads are JSON-escaped — backslash
+    first, then quote and the JSON-mandatory control characters
+    (newline, CR, tab), literal replaces in the same order in both
+    engines. To prove the escaping is actually exercised (the corpus
+    text contains none of these), every 7th turn's text gets a
+    deterministic suffix bearing a quote, a backslash, a newline and a
+    tab — mirrored in the oracle — before encoding."""
+    df = _parsed(spark, sf_dir).withColumn(
+        "text",
+        F.when(
+            F.col("turn_idx") % 7 == 0,
+            F.concat(F.col("text"), F.lit(' say "hi" via C:\\tmp\nline2\tend')),
+        ).otherwise(F.col("text")),
+    )
 
     def esc(c):
-        return F.replace(
-            F.replace(c, F.lit("\\"), F.lit("\\\\")), F.lit('"'), F.lit('\\"')
-        )
+        c = F.replace(c, F.lit("\\"), F.lit("\\\\"))
+        c = F.replace(c, F.lit('"'), F.lit('\\"'))
+        c = F.replace(c, F.lit("\n"), F.lit("\\n"))
+        c = F.replace(c, F.lit("\r"), F.lit("\\r"))
+        c = F.replace(c, F.lit("\t"), F.lit("\\t"))
+        return c
 
     sev_text = (
         F.when(F.col("severity_num") == 17, "ERROR")
@@ -764,6 +776,14 @@ def oracle_sql() -> dict[str, str]:
         """.replace('[RESEQ]', sqltext.RE_SEQ).replace('[RESTATUS]', sqltext.RE_STATUS),
         "otlp_json": f"""
             {p},
+            spiced AS (
+              SELECT conv_id, turn_idx, severity_num, event_kind,
+                     CASE WHEN turn_idx % 7 = 0
+                          THEN text || {sqltext.JSON_SPICE_SQL}
+                          ELSE text END AS text,
+                     ts
+              FROM parsed
+            ),
             wire AS (
               SELECT conv_id, turn_idx, text,
                      '{{"timeUnixNano":"' ||
@@ -774,11 +794,11 @@ def oracle_sql() -> dict[str, str]:
                            WHEN severity_num = 13 THEN 'WARN'
                            WHEN severity_num = 9 THEN 'INFO' ELSE '' END) ||
                      '","body":{{"stringValue":"' ||
-                     replace(replace(text, '\', '\\'), '"', '\"') ||
+                     {sqltext.json_esc_sql("text")} ||
                      '"}},"eventName":"' ||
-                     replace(replace(event_kind, '\', '\\'), '"', '\"') ||
+                     {sqltext.json_esc_sql("event_kind")} ||
                      '"}}' AS j
-              FROM parsed
+              FROM spiced
             )
             SELECT conv_id, turn_idx,
                    CAST(json_extract_string(j, '$.timeUnixNano') AS BIGINT) AS ts_unix_nano,

@@ -67,10 +67,12 @@ def fan_out(
 
     The count rides the sink's own action via the Observation API (the
     same pattern as plans/pipeline._write_counted) — one pass per sink,
-    not a write pass plus a count pass. ``sink_fn`` must therefore run
-    exactly one Spark action on the DataFrame it is given (a write, a
-    count, a collect — anything that materializes it); ``Observation.get``
-    blocks until that action completes.
+    not a write pass plus a count pass. ``sink_fn`` should run exactly
+    one Spark action on the DataFrame it is given (a write, a count, a
+    collect — anything that materializes it). A sink that runs NO action
+    (a nop/dry-run sink, an early-return error path) is detected with
+    the non-blocking ``getRowOrEmpty`` and falls back to one explicit
+    ``count()`` instead of blocking forever on ``Observation.get``.
     """
     from pyspark.sql import Observation
 
@@ -85,7 +87,12 @@ def fan_out(
                 obs, F.count(F.lit(1)).alias("n")
             )
             sink_fn(s, branch)
-            counts[s] = obs.get["n"]
+            if obs._jo is not None and obs._jo.getRowOrEmpty().isDefined():
+                counts[s] = obs.get["n"]
+            else:
+                # sink_fn ran no action — the observation never fired;
+                # count() both materializes the branch and is the count.
+                counts[s] = branch.count()
         return counts
     finally:
         if cache:

@@ -46,13 +46,30 @@ def _as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
 
+def _round_half_away(arr, digits: int):
+    """Round half away from zero — the semantics of DuckDB ``round`` and
+    Spark ``F.round`` (HALF_UP). ``np.round`` is banker's rounding
+    (half-to-even): np.round(0.03125, 4) = 0.0312 while both engines
+    give 0.0313, so using it in the Arrow twins silently diverges from
+    the native path AND the oracle at dyadic halves. floor(|x|·10^d+0.5)
+    matches DuckDB exactly (both operate on the actual double); F.round
+    agrees except at values whose shortest decimal repr reads as an
+    exact half while the double is not (measure-zero for computed
+    cosines/distances, and none of our inputs)."""
+    import numpy as np
+
+    scale = 10.0 ** digits
+    return np.copysign(np.floor(np.abs(arr) * scale + 0.5), arr) / scale
+
+
 def cosine_rounded_arrow(digits: int = 4):
     """Arrow-vectorized twin of round(cosine_expr(a, b), digits):
     dot/norm accumulators advance dim-by-dim in numpy float64 —
     replicating the zip_with+aggregate fold's IEEE operation order —
-    then cos = dot/(sqrt(na)*sqrt(nb)) rounded. Bit-identical to the
-    interpreted fold (equality asserted in tests), ~10× faster on the
-    candidate-pair hot path."""
+    then cos = dot/(sqrt(na)*sqrt(nb)) rounded half-away-from-zero
+    (matching F.round / DuckDB, see _round_half_away). Bit-identical to
+    the interpreted fold (equality asserted in tests, incl. a dyadic
+    half), ~10× faster on the candidate-pair hot path."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
@@ -68,7 +85,9 @@ def cosine_rounded_arrow(digits: int = 4):
             dot += va[:, i] * vb[:, i]
             na += va[:, i] * va[:, i]
             nb += vb[:, i] * vb[:, i]
-        return pd.Series(np.round(dot / (np.sqrt(na) * np.sqrt(nb)), digits))
+        return pd.Series(
+            _round_half_away(dot / (np.sqrt(na) * np.sqrt(nb)), digits)
+        )
 
     return cos
 
@@ -161,7 +180,7 @@ def assign_cells_arrow(centroids: list[list[float]]):
         for i in range(cents.shape[1]):  # sequential over dims = fold order
             diff = v[:, i][:, None] - cents[None, :, i]
             d += diff * diff
-        d = np.round(d, 6)
+        d = _round_half_away(d, 6)
         return pd.Series(np.argmin(d, axis=1).astype("int32"))
 
     return assign

@@ -30,6 +30,17 @@ class RetryableError(Exception):
     """Transient; retry with backoff (consumererror default)."""
 
 
+class ThrottleError(RetryableError):
+    """Transient with a server-mandated delay (gRPC RetryInfo / HTTP
+    Retry-After: exporter/otlphttpexporter/otlp.go:242-252). The retry
+    sender waits at least this long before the next attempt
+    (retry_sender.go:71-149: backoff = max(backoff, throttle delay))."""
+
+    def __init__(self, msg: str, retry_after_s: float):
+        super().__init__(msg)
+        self.retry_after_s = float(retry_after_s)
+
+
 def is_permanent(err: BaseException) -> bool:
     return isinstance(err, PermanentError)
 
@@ -111,6 +122,9 @@ def with_retry(
     """Exponential backoff with the reference's defaults (5s → ×1.5 →
     30s cap, 5m budget; config/configretry/backoff.go:17-21;
     retry_sender.go:71-149). Permanent errors propagate immediately.
+    A :class:`ThrottleError`'s server-mandated delay overrides a shorter
+    backoff interval (retry_sender.go:96-103) — the throttle wait is not
+    capped by max_interval_s, matching the reference.
     """
     interval = initial_s
     elapsed = 0.0
@@ -119,9 +133,12 @@ def with_retry(
             return fn()
         except PermanentError:
             raise
-        except Exception:
-            if elapsed + interval > max_elapsed_s:
+        except Exception as err:
+            wait = interval
+            if isinstance(err, ThrottleError):
+                wait = max(wait, err.retry_after_s)
+            if elapsed + wait > max_elapsed_s:
                 raise
-            sleep(interval)
-            elapsed += interval
+            sleep(wait)
+            elapsed += wait
             interval = min(interval * multiplier, max_interval_s)

@@ -158,7 +158,21 @@ def run_pipeline(
     routed = route_ops.route_stage(enriched).persist()
 
     def _chunked_write(table: str, df: DataFrame, stage: str) -> tuple[int, dict]:
-        """Write ``df`` as sink_chunks acked chunks; returns (rows, files)."""
+        """Write ``df`` as sink_chunks acked chunks; returns (rows, files).
+
+        A fresh stage (no chunk acked yet for this run) first clears the
+        table root: a previous run with different sink_chunks — or a
+        non-chunked run that wrote flat files there — would otherwise
+        leave stale part dirs that read back as duplicate rows. Resumed
+        runs (≥1 chunk acked) must NOT clear: the acked chunks' data IS
+        the resume state. The final lineage scan covers only the part
+        dirs this run owns."""
+        import shutil
+
+        if not any(
+            ckpt.is_done(f"{stage}.chunk{c:03d}") for c in range(sink_chunks)
+        ):
+            shutil.rmtree(catalog.path(table), ignore_errors=True)
         total = 0
         for c in range(sink_chunks):
             sub = f"{stage}.chunk{c:03d}"
@@ -183,7 +197,12 @@ def run_pipeline(
             if fail_after_stage == sub:
                 raise RuntimeError(f"injected failure after chunk {sub}")
             total += n
-        return total, lineage_ops.file_lineage(catalog.path(table))
+        files = [
+            {**fr, "file": f"part={c}/{fr['file']}"}
+            for c in range(sink_chunks)
+            for fr in lineage_ops.file_lineage(catalog.path(f"{table}/part={c}"))
+        ]
+        return total, files
 
     try:
         # Per-partition logical lineage for ALL sinks in ONE aggregation

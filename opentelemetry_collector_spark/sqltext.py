@@ -183,6 +183,28 @@ ROUTE_CASE_SQL = (
 SINK_NAMES = ["sink_search", "sink_browser", "sink_python", "sink_editor", "sink_default"]
 
 
+def json_esc_sql(x: str) -> str:
+    """DuckDB twin of the Spark-side JSON string escape (backslash first,
+    then quote, newline, CR, tab — same order). Built from chr() so the
+    Python source carries NO backslashes at all: an earlier version
+    wrote the backslashes as Python escapes inside an f-string, which
+    collapsed ('\\\\' -> '\\') and silently emitted no-op replaces."""
+    e = f"replace({x}, chr(92), chr(92)||chr(92))"
+    e = f"replace({e}, chr(34), chr(92)||chr(34))"
+    e = f"replace({e}, chr(10), chr(92)||'n')"
+    e = f"replace({e}, chr(13), chr(92)||'r')"
+    e = f"replace({e}, chr(9), chr(92)||'t')"
+    return e
+
+
+# Deterministic special-char suffix appended to every 7th turn's text in
+# the otlp_json round-trip (both engines): quote, backslash, newline, tab.
+JSON_SPICE_SQL = (
+    "' say ' || chr(34) || 'hi' || chr(34) || ' via C:' || chr(92) || 'tmp'"
+    " || chr(10) || 'line2' || chr(9) || 'end'"
+)
+
+
 # --- dedup / similarity fixtures ---------------------------------------------
 # The driver's documents/embeddings tables have no duplicates, so dedup
 # queries would return empty (a vacuous check). Both engines therefore

@@ -77,6 +77,32 @@ def test_kmeans_assignment_arrow_equals_native(spark, sf_dir):
     assert a == n
 
 
+def test_round_half_away_matches_spark_and_duckdb(spark):
+    """The Arrow kernels' rounding must match F.round (HALF_UP) and
+    DuckDB round at exact dyadic halves — np.round (half-to-even) does
+    not: np.round(0.03125, 4) = 0.0312 vs 0.0313 in both engines."""
+    import duckdb
+    import numpy as np
+
+    from opentelemetry_collector_spark.operators.similarity import _round_half_away
+
+    vals = [0.03125, -0.03125, 0.0625, 1.5 / 16, 0.12345, -0.65625, 0.28125]
+    ours = _round_half_away(np.array(vals), 4).tolist()
+    spark_r = [
+        r["r"]
+        for r in spark.createDataFrame([(v,) for v in vals], "v double")
+        .select(F.round("v", 4).alias("r"))
+        .collect()
+    ]
+    duck_r = [
+        duckdb.sql(f"SELECT round(CAST({v!r} AS DOUBLE), 4)").fetchone()[0]
+        for v in vals
+    ]
+    assert ours == spark_r == duck_r
+    # the banker's-rounding result would differ at the dyadic halves:
+    assert ours[0] == 0.0313 and ours[1] == -0.0313
+
+
 def test_embedding_pairs_same_under_both_score_paths(spark, sf_dir):
     from pyspark.sql import functions as F
 

@@ -96,6 +96,35 @@ def test_chunked_write_partition_granular_resume(spark, sf_dir, tmp_path):
     assert union.select("conv_id", "turn_idx").distinct().count() == n_input
 
 
+def test_chunked_write_clears_stale_parts(spark, sf_dir, tmp_path):
+    """Re-running the same warehouse with fewer sink_chunks — or after a
+    non-chunked run that wrote flat files — must not leave stale part
+    dirs that read back as duplicate rows."""
+    import os
+
+    wh = str(tmp_path / "wh5")
+    catalog = TableCatalog(spark, wh)
+    n_input = derive_transcripts(spark, sf_dir).count()
+
+    run_pipeline(spark, sf_dir, wh, run_id="runA")  # flat files
+    run_pipeline(spark, sf_dir, wh, run_id="runB", sink_chunks=3)
+    run_pipeline(spark, sf_dir, wh, run_id="runD", sink_chunks=2)
+
+    for s in SINK_NAMES:
+        parts = sorted(
+            d for d in os.listdir(catalog.path(s)) if d.startswith("part=")
+        )
+        assert parts == ["part=0", "part=1"], s
+        assert not any(
+            f.endswith(".parquet") for f in os.listdir(catalog.path(s))
+        ), f"{s}: stale flat files at table root"
+    union = None
+    for s in SINK_NAMES:
+        t = catalog.read(s).drop("part")
+        union = t if union is None else union.unionByName(t)
+    assert union.count() == n_input
+
+
 def test_send_batch_max_size_bounds_files(spark, sf_dir, tmp_path):
     wh = str(tmp_path / "wh4")
     run_pipeline(spark, sf_dir, wh, send_batch_max_size=100)

@@ -83,6 +83,48 @@ def test_retry_backoff_schedule():
     assert len(sleeps) == 3  # no retry on permanent
 
 
+def test_retry_throttle_delay():
+    """A ThrottleError's server-mandated delay overrides a shorter
+    backoff interval (retry_sender.go:96-103)."""
+    calls = {"n": 0}
+    sleeps: list[float] = []
+
+    def throttled():
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise errors.ThrottleError("429", retry_after_s=42.0)
+        if calls["n"] == 2:
+            raise errors.RetryableError("transient")
+        return "ok"
+
+    assert errors.with_retry(throttled, sleep=sleeps.append) == "ok"
+    # 42s throttle (not the 5s backoff), then the schedule resumes at 7.5s
+    assert sleeps == [42.0, 7.5]
+
+
+def test_fanout_no_action_sink(spark, parsed):
+    """fan_out must not block when a sink runs no Spark action (nop /
+    dry-run sink): the non-blocking observation check falls back to an
+    explicit count."""
+    from opentelemetry_collector_spark.operators import route as route_ops
+
+    routed = route_ops.route_stage(parsed)
+    seen: dict[str, int] = {}
+
+    def sink(name, df):
+        if name == "sink_search":
+            return  # nop sink: no action at all
+        seen[name] = df.count()
+
+    counts = route_ops.fan_out(routed, sink, sinks=["sink_search", "sink_default"])
+    truth = {
+        r["route"]: r["n"]
+        for r in routed.groupBy("route").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert counts["sink_search"] == truth["sink_search"]
+    assert counts["sink_default"] == truth["sink_default"] == seen["sink_default"]
+
+
 def test_cardinality_guard(spark, parsed):
     n = agg_ops.cardinality_guard(parsed, ["tool"], limit=100)
     assert n == 5
