@@ -435,6 +435,19 @@ def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.col("cell").cast("int").alias("cell"))
 
 
+def q_kmeans_cells_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k-means SCALE path: centroids trained on a deterministic
+    hash sample (the train_cap rows smallest by (md5(id), id)) — the
+    per-iteration shuffle is bounded by the cap instead of scaling with
+    the corpus — then one full-corpus assignment. Value-oracled with a
+    cap below corpus size so the sampled math itself is checked
+    cross-engine."""
+    from opentelemetry_collector_spark.operators import similarity
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out, _ = similarity.kmeans_cells(emb, k=8, iters=1, train_cap=200)
+    return out.select("vec_id", F.col("cell").cast("int").alias("cell"))
+
+
 def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN over COMPUTED k-means cells (not the pre-existing label)
     — a real coarse quantizer end-to-end. The assignment df feeds both
@@ -596,6 +609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": q_ann_recall,
         "latency_histogram": q_latency_histogram,
         "kmeans_cells": q_kmeans_cells,
+        "kmeans_cells_sampled": q_kmeans_cells_sampled,
         "ann_ivf_kmeans": q_ann_ivf_kmeans,
         "dedup_embedding_kmeans": q_dedup_embedding_kmeans,
         "token_count": q_token_count,
@@ -1021,6 +1035,8 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE cos >= 0.99
         """,
         "kmeans_cells": sqltext.kmeans_cells_cte()
+        + "SELECT vec_id, cell FROM kcells",
+        "kmeans_cells_sampled": sqltext.kmeans_cells_cte(train_cap=200)
         + "SELECT vec_id, cell FROM kcells",
         "dedup_embedding_kmeans": sqltext.kmeans_cells_cte(
             emb_sql=f"SELECT id AS vec_id, v FROM ({sqltext.EMB_AUG_SQL})"

@@ -96,7 +96,41 @@ def main() -> None:
     extra["pipeline_synth2m_turns"] = n_synth
     extra["pipeline_synth2m_turns_per_sec"] = round(n_synth / timings["pipeline_synth2m"], 1)
 
-    # 3. individual oracle-checked queries at sf_dir
+    # 3. k-means at realistic embedding dim: 200k vectors × dim 64,
+    # centroid training bounded by train_cap (per-iteration explode
+    # shuffles cap×dim elements, not corpus×dim — the scale shape).
+    # Input materialized to parquet untimed, same as the synth pipeline.
+    from opentelemetry_collector_spark.operators import similarity as sim_ops
+
+    emb_dir = tempfile.mkdtemp(prefix="otelcol_bench_emb64_")
+    (
+        spark.range(200_000)
+        .select(
+            F.col("id").cast("int").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(64)),
+                lambda i: (
+                    F.pmod(F.xxhash64(F.col("id") * F.lit(1000) + i), F.lit(997))
+                    / 997.0
+                ).cast("float"),
+            ).alias("embedding"),
+        )
+        .write.mode("overwrite")
+        .parquet(emb_dir)
+    )
+
+    def kmeans64_run() -> None:
+        emb = spark.read.parquet(emb_dir)
+        out, _ = sim_ops.kmeans_cells(emb, k=16, iters=2, train_cap=4096)
+        out.select("vec_id", "cell").write.format("noop").mode("overwrite").save()
+
+    try:
+        timed("kmeans_dim64_200k", kmeans64_run)
+    finally:
+        shutil.rmtree(emb_dir, ignore_errors=True)
+    extra["kmeans_dim64_train_rows"] = 4096
+
+    # 4. individual oracle-checked queries at sf_dir
     import __spark_entry__ as entrymod
 
     from opentelemetry_collector_spark.operators import dedup as dedup_ops

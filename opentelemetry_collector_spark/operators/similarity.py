@@ -98,6 +98,45 @@ def _cos_rounded(a: Column, b: Column, score_path: str) -> Column:
     return F.round(cosine_expr(a, b), 4)
 
 
+def _topk_per_query(scored: DataFrame, k: int, fanout: int = 64) -> DataFrame:
+    """Exact per-query top-k WITHOUT an unbounded single-task sort.
+
+    A plain ``Window.partitionBy("query_id")`` funnels every candidate
+    of a query into ONE task for the rank sort — at 10^9 candidates
+    (a hot IVF cell, or brute force itself) that task is the job. Here
+    the rank runs in two bounded levels:
+
+    1. local: candidates are salted into ``fanout`` deterministic
+       buckets (xxhash64 of the neighbor id — plan-stable, no
+       nondeterministic expression in a partition key) and ranked per
+       (query, bucket); each task sorts ~candidates/fanout rows and
+       keeps k.
+    2. merge: the final rank sees ≤ k·fanout rows per query.
+
+    Exact by the standard argument: under one total order
+    (cos desc, nbr_id asc), any global top-k row is a top-k row of its
+    bucket, so level 1 never drops a winner; level 2 then reproduces
+    the global order. Tie-breaking is identical at both levels, so the
+    result is bit-identical to the single-window form (asserted against
+    the oracle, which ranks globally)."""
+    salt = F.pmod(F.xxhash64(F.col("nbr_id")), F.lit(fanout))
+    local = Window.partitionBy("query_id", "_b").orderBy(
+        F.desc("cos"), F.asc("nbr_id")
+    )
+    pruned = (
+        scored.withColumn("_b", salt)
+        .withColumn("_lr", F.row_number().over(local))
+        .filter(F.col("_lr") <= k)
+        .drop("_b", "_lr")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("nbr_id"))
+    return (
+        pruned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "nbr_id", "cos")
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -105,10 +144,13 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     score_path: str = "arrow",
+    fanout: int = 64,
 ) -> DataFrame:
     """Exact top-k by cosine; ties broken by neighbor id for full
-    determinism. Queries are broadcast (small side by construction).
-    ``score_path``: vectorized (arrow, default) or Catalyst-fold cosine
+    determinism. Queries are broadcast (small side by construction);
+    the per-query rank is the bounded two-level form
+    (:func:`_topk_per_query`), so no task ever sorts the whole corpus.
+    ``score_path``: vectorized (arrow) or Catalyst-fold cosine
     — bit-identical (see cosine_rounded_arrow)."""
     c = corpus.select(
         F.col(id_col).alias("nbr_id"), _as_double(F.col(vec_col)).alias("cv")
@@ -121,12 +163,7 @@ def brute_force_topk(
         "nbr_id",
         _cos_rounded(F.col("qv"), F.col("cv"), score_path).alias("cos"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("nbr_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "nbr_id", "cos")
-    )
+    return _topk_per_query(scored, k, fanout)
 
 
 def _sq_dist_expr(vec: Column, centroid: list[float]) -> Column:
@@ -186,6 +223,25 @@ def assign_cells_arrow(centroids: list[list[float]]):
     return assign
 
 
+def _train_sample(
+    df: DataFrame, id_col: str, vec: Column, train_cap: int | None
+) -> DataFrame:
+    """The k-means training set: the ``train_cap`` rows smallest by
+    (md5(id), id) — a deterministic, engine-independent hash order, so
+    the DuckDB oracle selects the identical sample. Plans as a bounded
+    per-partition top-k merge (TakeOrderedAndProject), never a global
+    sort; the cap, not the corpus, bounds every training iteration."""
+    train = df.select(F.col(id_col).alias("_id"), vec.alias("v"))
+    if train_cap:
+        train = (
+            train.orderBy(
+                F.md5(F.col("_id").cast("string")).asc(), F.col("_id").asc()
+            )
+            .limit(train_cap)
+        )
+    return train
+
+
 def kmeans_cells(
     df: DataFrame,
     k: int = 8,
@@ -193,66 +249,79 @@ def kmeans_cells(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     assign_path: str = "arrow",
+    train_cap: int | None = 65536,
 ) -> tuple[DataFrame, list[list[float]]]:
     """Deterministic Lloyd's k-means coarse quantizer for IVF / embedding
-    dedup: seeds = the k vectors with smallest ids, then ``iters``
-    rounds of (assign → recompute centroids), then a final assign.
-    Returns (df + ``cell`` column, final centroids).
+    dedup: seeds = the k vectors with smallest ids in the TRAINING set,
+    then ``iters`` rounds of (assign → recompute centroids) over the
+    training set, then a final assign of the FULL corpus. Returns
+    (df + ``cell`` column, final centroids).
 
-    Determinism (the whole design): no RNG (id-ordered seeds), exact
-    centroid math (components cast to DECIMAL(20,8) — group-by sums are
-    exact, so partition/order of the reduce cannot change the result;
-    mean = exact-sum cast to double / count), and rounded+tie-broken
-    assignment. The DuckDB oracle (sqltext.kmeans_cte) reproduces every
-    step in SQL — cell assignments are value-oracled, which an RNG
-    k-means could never be.
+    Determinism (the whole design): no RNG (id-ordered seeds; the
+    training sample is the ``train_cap`` rows smallest by
+    (md5(id), id) — an engine-independent deterministic hash order, the
+    same trick as the conversation sampler), exact centroid math
+    (components cast to DECIMAL(20,8) — group-by sums are exact, so
+    partition/order of the reduce cannot change the result; mean =
+    exact-sum cast to double / count), and rounded+tie-broken
+    assignment. The DuckDB oracle (sqltext.kmeans_cells_cte) reproduces
+    every step in SQL — cell assignments are value-oracled, which an
+    RNG k-means could never be. When the corpus is smaller than
+    ``train_cap`` the sample IS the corpus, so small-scale results are
+    identical to exact training.
 
-    Scale shape: each iteration is one narrow groupBy (k×dim rows out)
-    plus a scan-speed assignment; centroids live on the driver (k×dim
-    doubles) and enter the plan as literals / a broadcast numpy array —
-    broadcast-join economics without a join. iters and k are tiny
-    constants; the heavy data is touched iters+1 times at scan speed.
-    ``assign_path``: "arrow" (vectorized pandas UDF, default) or
-    "native" (pure-Catalyst fold) — bit-identical assignments (the
-    arrow kernel replicates the fold's IEEE operation order).
+    Scale shape: centroid TRAINING touches only the hash sample — the
+    per-iteration posexplode/groupBy shuffles ≤ train_cap×dim rows,
+    independent of corpus size (an uncapped iteration at dim=768 over
+    10^9 vectors would shuffle a 768×-inflated corpus per round). The
+    sample lands via a bounded per-partition top-k merge
+    (TakeOrderedAndProject), never a global sort. The full corpus is
+    touched exactly once, by the final scan-speed assignment; centroids
+    live on the driver (k×dim doubles) and enter the plan as literals /
+    a broadcast numpy array. ``train_cap=None`` disables sampling
+    (exact mode at any size). ``assign_path``: "arrow" (vectorized
+    pandas UDF, default) or "native" (pure-Catalyst fold) —
+    bit-identical assignments (the arrow kernel replicates the fold's
+    IEEE operation order).
     """
     vec = _as_double(F.col(vec_col))
 
-    def assign(cents: list[list[float]]) -> Column:
+    def assign(cents: list[list[float]], v: Column) -> Column:
         if assign_path == "arrow":
-            return assign_cells_arrow(cents)(vec)
-        return assign_cells_expr(vec, cents)
+            return assign_cells_arrow(cents)(v)
+        return assign_cells_expr(v, cents)
 
-    seeds = [
-        [float(x) for x in r["v"]]
-        for r in df.select(vec.alias("v"), F.col(id_col))
-        .orderBy(F.col(id_col).asc())
-        .limit(k)
-        .collect()
-    ]
-    cents = seeds
-    for _ in range(iters):
-        assigned = df.select(
-            assign(cents).alias("cell"),
-            F.posexplode(vec).alias("pos", "x"),
-        )
-        sums = (
-            assigned.groupBy("cell", "pos")
-            .agg(
-                F.sum(F.col("x").cast("decimal(20,8)")).alias("s"),
-                F.count(F.lit(1)).alias("n"),
-            )
-            .collect()
-        )
-        by_cell: dict[int, dict[int, float]] = {}
-        for r in sums:
-            by_cell.setdefault(r["cell"], {})[r["pos"]] = float(r["s"]) / r["n"]
-        prev = cents
-        cents = [
-            [by_cell[j][p] for p in range(len(prev[0]))] if j in by_cell else prev[j]
-            for j in range(k)
+    train = _train_sample(df, id_col, vec, train_cap).persist()
+    try:
+        seeds = [
+            [float(x) for x in r["v"]]
+            for r in train.orderBy(F.col("_id").asc()).limit(k).collect()
         ]
-    out = df.withColumn("cell", assign(cents))
+        cents = seeds
+        for _ in range(iters):
+            assigned = train.select(
+                assign(cents, F.col("v")).alias("cell"),
+                F.posexplode(F.col("v")).alias("pos", "x"),
+            )
+            sums = (
+                assigned.groupBy("cell", "pos")
+                .agg(
+                    F.sum(F.col("x").cast("decimal(20,8)")).alias("s"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+                .collect()
+            )
+            by_cell: dict[int, dict[int, float]] = {}
+            for r in sums:
+                by_cell.setdefault(r["cell"], {})[r["pos"]] = float(r["s"]) / r["n"]
+            prev = cents
+            cents = [
+                [by_cell[j][p] for p in range(len(prev[0]))] if j in by_cell else prev[j]
+                for j in range(k)
+            ]
+    finally:
+        train.unpersist()
+    out = df.withColumn("cell", assign(cents, vec))
     return out, cents
 
 
@@ -264,14 +333,29 @@ def ivf_topk(
     vec_col: str = "embedding",
     cell_col: str = "label",
     score_path: str = "arrow",
+    fanout: int = 64,
+    max_cell: int | None = None,
 ) -> DataFrame:
     """IVF-style ANN: search only the query's coarse cell. Recall < 1.0
-    by design; the probe count (here 1 cell) is the recall/cost knob."""
+    by design; the probe count (here 1 cell) is the recall/cost knob.
+
+    Scale shape: the per-query rank is the bounded two-level form
+    (:func:`_topk_per_query`) — a degenerate hot cell (up to the whole
+    corpus in one cell) costs fanout-way parallel local sorts, never a
+    single-task global sort. ``max_cell`` additionally drops corpus
+    cells larger than the cap before the probe (the dedup._cap_buckets
+    pattern — logged, never silent); a cell that big carries little
+    neighborhood signal and the drop is an explicit recall/cost choice,
+    so it is OFF by default and the oracle runs uncapped."""
     c = corpus.select(
         F.col(id_col).alias("nbr_id"),
         F.col(cell_col).alias("cell"),
         _as_double(F.col(vec_col)).alias("cv"),
     )
+    if max_cell:
+        from opentelemetry_collector_spark.operators.dedup import _cap_buckets
+
+        c = _cap_buckets(c, ["cell"], max_cell, "ivf_topk probe cells")
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(cell_col).alias("qcell"),
@@ -285,9 +369,4 @@ def ivf_topk(
         "nbr_id",
         _cos_rounded(F.col("qv"), F.col("cv"), score_path).alias("cos"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("nbr_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "nbr_id", "cos")
-    )
+    return _topk_per_query(scored, k, fanout)

@@ -264,17 +264,30 @@ def minhash_sig_sql_list(n_hashes: int = 12) -> str:
     ) + "]"
 
 
-def kmeans_cells_cte(k: int = 8, dim: int = 64, emb_sql: str | None = None) -> str:
+def kmeans_cells_cte(
+    k: int = 8, dim: int = 64, emb_sql: str | None = None,
+    train_cap: int | None = None,
+) -> str:
     """DuckDB CTE chain reproducing similarity.kmeans_cells (iters=1)
     bit-for-bit: id-ordered seeds, rounded+tie-broken argmin assignment,
     exact DECIMAL(20,8) centroid sums cast to double / count. Ends with
     ``kcells(vec_id, cell)``; append the consuming SELECT. ``emb_sql``
-    overrides the vector source (must yield (vec_id, v double[]))."""
+    overrides the vector source (must yield (vec_id, v double[])).
+    ``train_cap`` mirrors the Spark side's deterministic hash-sampled
+    training set — the train_cap rows smallest by (md5(id), id); seeds
+    and the centroid update read the sample, the final assignment reads
+    the full corpus."""
     if emb_sql is None:
         emb_sql = (
             "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))"
             " AS v FROM embeddings"
         )
+    train_sql = (
+        "SELECT * FROM emb"
+        if not train_cap
+        else f"SELECT * FROM emb ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id"
+             f" LIMIT {train_cap}"
+    )
     dist = (
         "round(list_sum(list_transform(generate_series(1,{dim}), "
         "i -> (e.v[i]-s.v[i])*(e.v[i]-s.v[i]))), 6)"
@@ -283,13 +296,16 @@ def kmeans_cells_cte(k: int = 8, dim: int = 64, emb_sql: str | None = None) -> s
         WITH emb AS (
           {emb_sql}
         ),
+        train AS (
+          {train_sql}
+        ),
         seeds AS (
           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v
-          FROM (SELECT * FROM emb ORDER BY vec_id LIMIT {k})
+          FROM (SELECT * FROM train ORDER BY vec_id LIMIT {k})
         ),
         d0 AS (
           SELECT e.vec_id, s.cell, {dist} AS d2
-          FROM emb e CROSS JOIN seeds s
+          FROM train e CROSS JOIN seeds s
         ),
         a0 AS (
           SELECT vec_id, cell FROM (
@@ -301,7 +317,7 @@ def kmeans_cells_cte(k: int = 8, dim: int = 64, emb_sql: str | None = None) -> s
         upd AS (
           SELECT a0.cell, t.i AS pos,
                  CAST(sum(CAST(e.v[t.i] AS DECIMAL(20,8))) AS DOUBLE)/count(*) AS cv
-          FROM a0 JOIN emb e USING (vec_id),
+          FROM a0 JOIN train e USING (vec_id),
                UNNEST(generate_series(1,{dim})) AS t(i)
           GROUP BY a0.cell, t.i
         ),

@@ -55,6 +55,28 @@ def test_embedding_cell_cap(spark):
     dedup.release_cached()
 
 
+def test_ivf_degenerate_cell_exact_and_cappable(spark):
+    """All vectors in ONE cell (the worst hot-cell case): the two-level
+    rank must still give exactly the brute-force answer (the probe sees
+    the whole corpus), and max_cell must be able to shed the cell."""
+    from opentelemetry_collector_spark.operators import similarity
+
+    rows = [
+        (i, "hot", [float((i * 7 + d * 3) % 11), float((i + d) % 5), 1.0])
+        for i in range(60)
+        for d in [0]
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, label string, embedding array<float>")
+    q = df.filter(F.col("vec_id") < 4)
+    ivf = similarity.ivf_topk(df, q, k=3, score_path="native", fanout=8)
+    bf = similarity.brute_force_topk(df, q, k=3, score_path="native", fanout=8)
+    assert sorted(map(tuple, ivf.collect())) == sorted(map(tuple, bf.collect()))
+
+    capped = similarity.ivf_topk(df, q, k=3, score_path="native", max_cell=10)
+    assert capped.count() == 0  # hot cell shed, logged by _cap_buckets
+    dedup.release_cached()
+
+
 def test_release_cached_empties_registry(spark):
     docs = _degenerate_docs(spark, n=5)
     dedup.minhash_lsh_pairs(docs).count()

@@ -56,6 +56,43 @@ def test_proto_size_stays_in_codegen(spark, sf_dir):
     assert "Scan parquet" in plan
 
 
+def test_ann_rank_is_two_level_bounded(spark, sf_dir):
+    """The ANN per-query rank must be the two-level salted form: a local
+    window partitioned by (query_id, salt bucket) with a k-filter before
+    the final per-query window — never ONE unbounded per-query sort.
+    Asserted for both the brute-force baseline and the IVF probe."""
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3)
+    for df in (
+        similarity.brute_force_topk(emb, q, score_path="native"),
+        similarity.ivf_topk(emb, q, score_path="native"),
+    ):
+        plan = _plan(df)
+        # two window levels, the first partitioned by the salt bucket
+        assert plan.count("windowspecdefinition") >= 2, plan[:2000]
+        assert "_b" in plan, "local window lost its salt bucket key"
+        assert "_lr" in plan, "local k-filter missing"
+
+
+def test_kmeans_train_sample_plans_bounded_topk(spark, sf_dir):
+    """The k-means training sample must plan TakeOrderedAndProject
+    (bounded per-partition top-k merge) — not a global sort — so the
+    centroid iterations are capped by train_cap, not corpus size."""
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    plan = _plan(similarity._train_sample(emb, "vec_id", vec, 200))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan  # no global SortExec
+
+
 def test_lineage_aggregation_is_partial(spark, sf_dir):
     """logical_lineage must plan a two-phase hash aggregate (map-side
     partial_count/partial_sum before the shuffle)."""
