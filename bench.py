@@ -27,6 +27,7 @@ import sys
 import tempfile
 import time
 
+import pandas as pd  # noqa: F401 — resolves pandas_udf type hints
 from pyspark.sql import functions as F
 
 
@@ -96,6 +97,18 @@ def main() -> None:
     extra["pipeline_synth2m_turns"] = n_synth
     extra["pipeline_synth2m_turns_per_sec"] = round(n_synth / timings["pipeline_synth2m"], 1)
 
+    # spin up the Python/Arrow worker pool once, untimed, so no single
+    # downstream query is charged the whole pool's spin-up cost
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm(s: pd.Series) -> pd.Series:
+        return s
+
+    spark.range(10_000, numPartitions=32).select(_warm("id")).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
     # 3. k-means at realistic embedding dim: 200k vectors × dim 64,
     # centroid training bounded by train_cap (per-iteration explode
     # shuffles cap×dim elements, not corpus×dim — the scale shape).
@@ -130,7 +143,17 @@ def main() -> None:
         shutil.rmtree(emb_dir, ignore_errors=True)
     extra["kmeans_dim64_train_rows"] = 4096
 
-    # 4. individual oracle-checked queries at sf_dir
+    # 4. individual oracle-checked queries at sf_dir.
+    #
+    # Methodology (round 3): the suite reports steady-state times —
+    # min of 2 back-to-back runs per query, after a one-off Arrow
+    # worker warm-up. Round-2 adjudication showed the old single-cold-
+    # run numbers charged whole-process fixed costs to whichever query
+    # ran first in its class (pandas_udf worker spin-up made the first
+    # arrow query 4-6x its warm time; JIT/codegen warm-up inflated the
+    # alphabetically-early attr_ops 6x) — noise that swamped real
+    # regressions. Cross-round: r1/r2 values are cold-run and read
+    # systematically higher.
     import __spark_entry__ as entrymod
 
     from opentelemetry_collector_spark.operators import dedup as dedup_ops
@@ -138,11 +161,15 @@ def main() -> None:
     qs = entrymod.queries()
     for name in sorted(qs):
         df_fn = qs[name]
-        timed(name, lambda f=df_fn: f(spark, sf_dir).write.format("noop")
-              .mode("overwrite").save())
-        # free any pair-function caches so queries don't inherit memory
-        # pressure from earlier ones (dedup module registry)
-        dedup_ops.release_cached()
+        runs = []
+        for _ in range(2):
+            t0 = time.monotonic()
+            df_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.monotonic() - t0)
+            # free any pair-function caches so queries don't inherit
+            # memory pressure from earlier ones (dedup module registry)
+            dedup_ops.release_cached()
+        timings[name] = round(min(runs), 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
