@@ -39,7 +39,8 @@ Component IDs follow the reference's ``type`` or ``type/name`` format
 from __future__ import annotations
 
 import os
-from collections.abc import Callable
+import re
+from collections.abc import Callable, Mapping
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -49,6 +50,103 @@ from pyspark.sql import functions as F
 class ConfigError(ValueError):
     """Invalid pipeline configuration (the otelcol config-validation
     error class; messages mirror service/pipelines/config.go:25-64)."""
+
+
+# ---------------------------------------------------------------------------
+# confmap resolver: ${scheme:uri} expansion + multi-source merge
+# (confmap/resolver.go:73-128, confmap/provider/envprovider,
+#  confmap/provider/fileprovider)
+# ---------------------------------------------------------------------------
+
+_REF_RE = re.compile(r"\$\$|\$\{([^${}]+)\}")
+
+
+def _default_providers() -> dict[str, Callable[[str, Mapping[str, str]], str]]:
+    """Built-in scheme providers, mirroring the reference's env and file
+    providers. A provider maps a URI to raw text; the resolved text is
+    YAML-parsed when the reference was the entire string (so
+    ``port: ${env:PORT}`` yields an int, exactly like confmap)."""
+
+    def env_provider(uri: str, env: Mapping[str, str]) -> str:
+        if uri not in env:
+            raise ConfigError(f"environment variable {uri!r} is not set")
+        return env[uri]
+
+    def file_provider(uri: str, env: Mapping[str, str]) -> str:
+        try:
+            with open(uri) as f:
+                return f.read()
+        except OSError as e:
+            raise ConfigError(f"cannot read ${{file:{uri}}}: {e}") from e
+
+    return {"env": env_provider, "file": file_provider}
+
+
+def _resolve_ref(inner: str, env: Mapping[str, str], providers) -> str:
+    """Resolve the inside of one ``${...}`` to raw text. Syntax
+    (envprovider): ``env:NAME``, ``env:NAME:-default``, and the bare
+    legacy form ``NAME`` / ``NAME:-default`` (default scheme env)."""
+    ref, default = inner, None
+    if ":-" in inner:
+        ref, default = inner.split(":-", 1)
+    if ":" in ref:
+        scheme, uri = ref.split(":", 1)
+    else:
+        scheme, uri = "env", ref
+    provider = providers.get(scheme)
+    if provider is None:
+        raise ConfigError(
+            f"config reference ${{{inner}}}: unsupported scheme {scheme!r} "
+            f"(have: {', '.join(sorted(providers))})"
+        )
+    try:
+        return provider(uri, env)
+    except ConfigError:
+        if default is not None:
+            return default
+        raise
+
+
+def _expand_value(v, env: Mapping[str, str], providers):
+    """Recursively expand ``${scheme:uri}`` references in a loaded YAML
+    structure. A string that is exactly one reference resolves to the
+    YAML-parsed value (type-preserving); embedded references substitute
+    as text. ``$$`` escapes a literal ``$``."""
+    import yaml
+
+    if isinstance(v, dict):
+        return {k: _expand_value(x, env, providers) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_expand_value(x, env, providers) for x in v]
+    if not isinstance(v, str) or "$" not in v:
+        return v
+
+    whole = _REF_RE.fullmatch(v)
+    if whole and whole.group(1) is not None:
+        text = _resolve_ref(whole.group(1), env, providers)
+        try:
+            return yaml.safe_load(text)
+        except yaml.YAMLError:
+            return text
+
+    def sub(m: re.Match) -> str:
+        if m.group(0) == "$$":
+            return "$"
+        return _resolve_ref(m.group(1), env, providers)
+
+    return _REF_RE.sub(sub, v)
+
+
+def _deep_merge(base: dict, over: dict) -> dict:
+    """confmap merge: maps merge recursively, everything else (scalars,
+    lists) is replaced by the later source (confmap.Conf.Merge)."""
+    out = dict(base)
+    for k, v in over.items():
+        if isinstance(out.get(k), dict) and isinstance(v, dict):
+            out[k] = _deep_merge(out[k], v)
+        else:
+            out[k] = v
+    return out
 
 
 def _ctype(component_id: str) -> str:
@@ -73,16 +171,53 @@ class ServiceConfig:
     pipelines: dict[str, PipelineSpec]
 
     @staticmethod
-    def from_yaml(text: str) -> "ServiceConfig":
+    def from_yaml(
+        text: str,
+        env: Mapping[str, str] | None = None,
+        providers: dict | None = None,
+    ) -> "ServiceConfig":
+        """Load one YAML source, resolving ``${env:VAR}`` /
+        ``${env:VAR:-default}`` / ``${file:path}`` references
+        (confmap/resolver.go:73-128; providers under confmap/provider/).
+        ``env`` defaults to os.environ; pass a mapping to pin it in
+        tests. Unresolvable references raise ConfigError."""
         import yaml
 
         raw = yaml.safe_load(text) or {}
+        raw = _expand_value(
+            raw, os.environ if env is None else env,
+            providers or _default_providers(),
+        )
         return ServiceConfig.from_dict(raw)
 
     @staticmethod
-    def from_file(path: str) -> "ServiceConfig":
+    def from_file(path: str, **kw) -> "ServiceConfig":
         with open(path) as f:
-            return ServiceConfig.from_yaml(f.read())
+            return ServiceConfig.from_yaml(f.read(), **kw)
+
+    @staticmethod
+    def from_files(
+        paths: list[str],
+        env: Mapping[str, str] | None = None,
+        providers: dict | None = None,
+    ) -> "ServiceConfig":
+        """Multi-source config: later files deep-merge over earlier ones
+        (maps merge recursively, scalars/lists replace — the resolver's
+        Conf.Merge semantics), THEN references expand over the merged
+        result — matching the reference's resolve-after-merge order, so
+        an override file can replace a ``${env:...}`` reference with a
+        literal (or vice versa)."""
+        import yaml
+
+        merged: dict = {}
+        for p in paths:
+            with open(p) as f:
+                merged = _deep_merge(merged, yaml.safe_load(f.read()) or {})
+        merged = _expand_value(
+            merged, os.environ if env is None else env,
+            providers or _default_providers(),
+        )
+        return ServiceConfig.from_dict(merged)
 
     @staticmethod
     def from_dict(raw: dict) -> "ServiceConfig":
@@ -321,6 +456,25 @@ def run(
     persisted: list[DataFrame] = []
     counts: dict[str, int] = {}
 
+    # receiver node dedup (graph.go:213-248): ONE DataFrame per receiver
+    # id regardless of how many pipelines consume it, persisted when
+    # shared so the source is scanned once, not once per pipeline.
+    rcv_consumers: dict[str, int] = {}
+    for _p in cfg.pipelines.values():
+        for _r in _p.receivers:
+            if _r not in cfg.connectors:
+                rcv_consumers[_r] = rcv_consumers.get(_r, 0) + 1
+    rcv_cache: dict[str, DataFrame] = {}
+
+    def _receiver_df(rid: str) -> DataFrame:
+        if rid not in rcv_cache:
+            out = _make_receiver(rid, cfg.receivers[rid] or {}, spark)
+            if rcv_consumers.get(rid, 0) > 1:
+                out = out.persist()
+                persisted.append(out)
+            rcv_cache[rid] = out
+        return rcv_cache[rid]
+
     def _connector_output(cid: str, consumer: PipelineSpec) -> DataFrame:
         t = _ctype(cid)
         ins = conn_inputs[cid]
@@ -350,7 +504,7 @@ def run(
                 if r in cfg.connectors:
                     dfs.append(_connector_output(r, p))
                 else:
-                    dfs.append(_make_receiver(r, cfg.receivers[r] or {}, spark))
+                    dfs.append(_receiver_df(r))
             df = dfs[0]
             for d in dfs[1:]:
                 df = df.unionByName(d)

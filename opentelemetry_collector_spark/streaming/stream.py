@@ -91,7 +91,7 @@ def windowed_accounting(routed: DataFrame, watermark: str = "2 hours",
 
 
 def route_sink_writer(warehouse: str, sinks: list[str] | None = None,
-                      edge_metrics: bool = True):
+                      edge_metrics: bool = True, run_id: str | None = None):
     """foreachBatch fan-out: per-micro-batch routed append to per-sink
     tables (fanoutconsumer per micro-batch; Spark's offset log + this
     append being idempotent per epoch gives effectively-once).
@@ -106,21 +106,27 @@ def route_sink_writer(warehouse: str, sinks: list[str] | None = None,
 
     ``edge_metrics``: per-(epoch, sink) item/byte counters ride each
     append via an Observation (the streaming face of the A6 obsconsumer
-    edge telemetry) and land as driver-side JSON-lines under
-    ``_edge_metrics/`` — one tiny local write per epoch, no extra Spark
-    action."""
-    import json
-    import os
+    edge telemetry) and are acked into the SAME CheckpointStore the
+    batch pipeline uses — one driver-side JSON ack per (epoch, sink),
+    no extra Spark action. ``flush_lineage(spark)`` (an attribute on
+    the returned function) flattens the acks into the shared queryable
+    ``lineage`` warehouse table (part_id = epoch), so streaming and
+    batch A6 telemetry share one store and one query surface."""
+    import time
 
     from pyspark.sql import Observation
 
+    from opentelemetry_collector_spark.plans.checkpoint import (
+        CheckpointStore,
+        StageMetric,
+    )
     from opentelemetry_collector_spark.sqltext import SINK_NAMES
 
     sink_list = sinks or SINK_NAMES
+    ckpt = CheckpointStore(warehouse, run_id) if edge_metrics else None
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         batch_df.persist()
-        metrics = []
         try:
             for sink in sink_list:
                 branch = batch_df.filter(F.col("route") == sink)
@@ -133,24 +139,41 @@ def route_sink_writer(warehouse: str, sinks: list[str] | None = None,
                             F.sum(F.octet_length("text")), F.lit(0)
                         ).alias("bytes"),
                     )
+                t0 = time.monotonic()
                 branch.write.mode("append").parquet(f"{warehouse}/{sink}")
                 if edge_metrics:
                     got = obs.get
-                    metrics.append(
-                        {"epoch": epoch_id, "sink": sink,
-                         "rows": got["rows"], "bytes": got["bytes"]}
+                    ckpt.commit(
+                        f"stream.{sink}.epoch{epoch_id:08d}",
+                        StageMetric(
+                            run_id=ckpt.run_id,
+                            stage=f"stream.{sink}",
+                            rows_in=got["rows"],
+                            rows_out=got["rows"],
+                            wall_ms=int((time.monotonic() - t0) * 1000),
+                            extra={
+                                "epoch": epoch_id,
+                                "sink": sink,
+                                "partitions": [{
+                                    "part_id": epoch_id,
+                                    "rows": got["rows"],
+                                    "bytes": got["bytes"],
+                                }],
+                            },
+                        ),
                     )
-            if edge_metrics:
-                d = os.path.join(warehouse, "_edge_metrics")
-                os.makedirs(d, exist_ok=True)
-                tmp = os.path.join(d, f"epoch-{epoch_id:08d}.json.tmp")
-                with open(tmp, "w") as f:
-                    for m in metrics:
-                        f.write(json.dumps(m) + "\n")
-                os.replace(tmp, tmp[:-4])
         finally:
             batch_df.unpersist()
 
+    def flush_lineage(spark: SparkSession) -> tuple[int, int]:
+        from opentelemetry_collector_spark.sinks.tables import TableCatalog
+
+        if ckpt is None:
+            return (0, 0)
+        return ckpt.write_lineage_table(spark, TableCatalog(spark, warehouse))
+
+    write_batch.ckpt = ckpt
+    write_batch.flush_lineage = flush_lineage
     return write_batch
 
 
@@ -225,13 +248,16 @@ def run_available_now(
     routed sink writes + (optionally) windowed accounting to memory.
     Returns the accounting query name for inspection."""
     routed = transform(stream_transcripts(spark, src_path), spark)
+    writer = route_sink_writer(warehouse)
     q1 = (
-        routed.writeStream.foreachBatch(route_sink_writer(warehouse))
+        routed.writeStream.foreachBatch(writer)
         .option("checkpointLocation", f"{checkpoint}/route")
         .trigger(availableNow=True)
         .start()
     )
     q1.awaitTermination()
+    # flatten the per-(epoch, sink) acks into the shared lineage table
+    writer.flush_lineage(spark)
     if accounting:
         acc = windowed_accounting(routed)
         q2 = (

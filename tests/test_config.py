@@ -177,6 +177,98 @@ def test_attributes_processor_from_config(spark, sf_dir, tmp_path):
     assert "env" in row["ks"] and "msg" not in row["ks"]
 
 
+def test_env_expansion_basic_and_default():
+    """${env:VAR} / ${env:VAR:-default} resolution with type-preserving
+    whole-string refs (confmap/resolver.go:73-128, envprovider)."""
+    raw = _base({"logs": {"receivers": ["transcripts"], "exporters": ["table/a"]}})
+    import yaml
+
+    text = yaml.safe_dump(raw).replace(
+        "sf_dir: /root/testdata/sf0.001", "sf_dir: ${env:GRAFT_SF}"
+    )
+    cfg = ServiceConfig.from_yaml(text, env={"GRAFT_SF": "/tmp/somewhere"})
+    assert cfg.receivers["transcripts"]["sf_dir"] == "/tmp/somewhere"
+    # default used when unset; env wins when set
+    cfg2 = ServiceConfig.from_yaml(
+        text.replace("${env:GRAFT_SF}", "${env:GRAFT_SF:-/d/efault}"), env={}
+    )
+    assert cfg2.receivers["transcripts"]["sf_dir"] == "/d/efault"
+
+
+def test_env_expansion_type_preserving_and_embedded():
+    out = cfg_mod._expand_value(
+        {
+            "port": "${env:PORT}",
+            "flag": "${env:FLAG}",
+            "url": "http://${env:HOST}:${env:PORT}/x",
+            "lit": "cost is $$5",
+        },
+        {"PORT": "8080", "FLAG": "true", "HOST": "h1"},
+        cfg_mod._default_providers(),
+    )
+    assert out["port"] == 8080 and out["flag"] is True  # YAML-parsed
+    assert out["url"] == "http://h1:8080/x"  # embedded: text substitution
+    assert out["lit"] == "cost is $5"  # $$ escape
+
+
+def test_env_expansion_errors():
+    with pytest.raises(ConfigError, match="MISSING_VAR.*not set"):
+        cfg_mod._expand_value(
+            {"x": "${env:MISSING_VAR}"}, {}, cfg_mod._default_providers()
+        )
+    with pytest.raises(ConfigError, match="unsupported scheme 'bogus'"):
+        cfg_mod._expand_value(
+            {"x": "${bogus:uri}"}, {}, cfg_mod._default_providers()
+        )
+
+
+def test_file_provider_and_multi_file_merge(tmp_path):
+    """${file:path} inlining + from_files deep-merge (later file wins on
+    scalars, maps merge recursively — Conf.Merge semantics)."""
+    secret = tmp_path / "token.txt"
+    secret.write_text("s3cr3t")
+    base = tmp_path / "base.yaml"
+    base.write_text(
+        "receivers: {transcripts: {sf_dir: /root/testdata/sf0.001}}\n"
+        "processors: {parse: {}}\n"
+        "exporters: {table/a: {table: out_a, token: '${file:%s}'}}\n"
+        "service: {pipelines: {logs: {receivers: [transcripts],\n"
+        "  processors: [parse], exporters: [table/a]}}}\n" % secret
+    )
+    over = tmp_path / "override.yaml"
+    over.write_text("exporters: {table/a: {table: out_override}}\n")
+    cfg = ServiceConfig.from_files([str(base), str(over)], env={})
+    assert cfg.exporters["table/a"]["table"] == "out_override"  # later wins
+    assert cfg.exporters["table/a"]["token"] == "s3cr3t"  # map-merged + file ref
+
+
+def test_receiver_node_dedup_single_scan(spark, sf_dir, tmp_path, monkeypatch):
+    """Two pipelines reading the same receiver id must share ONE
+    DataFrame (graph.go:213-248 node dedup), persisted for the fan-out —
+    not build/scan the source once per pipeline."""
+    calls = []
+    real = cfg_mod._make_receiver
+
+    def counting(cid, opts, spark_):
+        calls.append(cid)
+        return real(cid, opts, spark_)
+
+    monkeypatch.setattr(cfg_mod, "_make_receiver", counting)
+    raw = _base(
+        {
+            "logs/a": {"receivers": ["transcripts"], "processors": ["parse"],
+                       "exporters": ["table/a"]},
+            "logs/b": {"receivers": ["transcripts"],
+                       "exporters": ["table/b"]},
+        }
+    )
+    raw["receivers"]["transcripts"]["sf_dir"] = str(sf_dir)
+    cfg = ServiceConfig.from_dict(raw)
+    counts = run(build(cfg), spark, str(tmp_path / "whd"))
+    assert calls == ["transcripts"]  # built exactly once for both pipelines
+    assert counts["table/a"] == counts["table/b"] > 0
+
+
 def test_config_run_with_checkpoint_resume(spark, sf_dir, tmp_path):
     """run_id-gated config execution: a second run with the same run_id
     skips every already-acked exporter (returning its acked counts)."""

@@ -103,11 +103,12 @@ def test_stateful_conversation_tracker(spark, sf_dir, tmp_path):
     assert n_updates > truth.count()
 
 
-def test_streaming_edge_metrics(spark, sf_dir, tmp_path):
-    """Per-(epoch, sink) item/byte counters land under _edge_metrics and
-    reconcile with what actually reached the sink tables (A6's streaming
-    face; counters ride the appends via Observation, no extra action)."""
-    import json
+def test_streaming_edge_metrics_in_lineage_table(spark, sf_dir, tmp_path):
+    """Per-(epoch, sink) item/byte counters ride the appends via
+    Observation and land in the SAME queryable ``lineage`` warehouse
+    table the batch pipeline writes (stage = stream.<sink>, part_id =
+    epoch) — one A6 store for both execution modes. The table must
+    reconcile with what actually reached the sink tables."""
     import os
 
     from pyspark.sql import functions as F
@@ -119,27 +120,29 @@ def test_streaming_edge_metrics(spark, sf_dir, tmp_path):
     wh = str(tmp_path / "wh")
     derive_transcripts(spark, sf_dir).write.mode("overwrite").parquet(src)
     routed = ss.transform(ss.stream_transcripts(spark, src, max_files=4), spark)
+    writer = ss.route_sink_writer(wh)
     q = (
-        routed.writeStream.foreachBatch(ss.route_sink_writer(wh))
+        routed.writeStream.foreachBatch(writer)
         .option("checkpointLocation", str(tmp_path / "ckpt"))
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
+    n_lineage, _ = writer.flush_lineage(spark)
+    assert n_lineage > 0
 
-    md = os.path.join(wh, "_edge_metrics")
-    recs = []
-    for fn in sorted(os.listdir(md)):
-        with open(os.path.join(md, fn)) as f:
-            recs += [json.loads(line) for line in f]
-    assert len({r["epoch"] for r in recs}) >= 1
+    lin = spark.read.parquet(os.path.join(wh, "lineage")).filter(
+        F.col("stage").startswith("stream.")
+    )
+    rows = lin.collect()
+    assert len({r["part_id"] for r in rows}) >= 1  # part_id carries epoch
+    assert all(r["bytes"] >= 0 for r in rows)
     per_sink = {}
-    for r in recs:
-        per_sink[r["sink"]] = per_sink.get(r["sink"], 0) + r["rows"]
-        assert r["bytes"] >= 0
+    for r in rows:
+        sink = r["stage"].removeprefix("stream.")
+        per_sink[sink] = per_sink.get(sink, 0) + r["rows"]
     for sink, n in per_sink.items():
         if n:
             got = spark.read.parquet(os.path.join(wh, sink)).count()
             assert got == n, (sink, got, n)
-    assert sum(per_sink.values()) == derive_transcripts(spark, sf_dir).filter(
-        F.lit(True)).count()
+    assert sum(per_sink.values()) == derive_transcripts(spark, sf_dir).count()
