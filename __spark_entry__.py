@@ -273,6 +273,164 @@ def q_otlp_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_otlp_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full 3-level OTLP/JSON envelope round-trip (S2 completion,
+    pdata/plog/json.go:17-44): group turns into ResourceLogs (resource =
+    conversation, one ``conv.id`` resource attribute) → ScopeLogs
+    (scope = tool) → LogRecords (turn order preserved via sorted
+    aggregation; turn_idx rides as an intValue record attribute, the
+    protobuf-JSON uint mapping), producing one wire document per
+    conversation — built with concat so both engines encode
+    byte-identical JSON — then decode with a full nested schema and
+    flatten back to one row per record."""
+    df = _parsed(spark, sf_dir)
+
+    def esc(c):
+        c = F.replace(c, F.lit("\\"), F.lit("\\\\"))
+        c = F.replace(c, F.lit('"'), F.lit('\\"'))
+        c = F.replace(c, F.lit("\n"), F.lit("\\n"))
+        c = F.replace(c, F.lit("\r"), F.lit("\\r"))
+        c = F.replace(c, F.lit("\t"), F.lit("\\t"))
+        return c
+
+    sev_text = (
+        F.when(F.col("severity_num") == 17, "ERROR")
+        .when(F.col("severity_num") == 13, "WARN")
+        .when(F.col("severity_num") == 9, "INFO")
+        .otherwise("")
+    )
+    rec = F.concat(
+        F.lit('{"timeUnixNano":"'),
+        (F.unix_timestamp("ts").cast("bigint") * F.lit(1000000000)).cast("string"),
+        F.lit('","severityNumber":'), F.col("severity_num").cast("string"),
+        F.lit(',"severityText":"'), sev_text,
+        F.lit('","body":{"stringValue":"'), esc(F.col("text")),
+        F.lit('"},"eventName":"'), esc(F.col("event_kind")),
+        F.lit('","attributes":[{"key":"turn.idx","value":{"intValue":"'),
+        F.col("turn_idx").cast("string"), F.lit('"}}]}'),
+    )
+    scopes = (
+        df.select(
+            "conv_id",
+            F.coalesce(F.col("tool_parsed"), F.lit("none")).alias("scope_name"),
+            F.struct(
+                F.col("turn_idx").alias("ti"), rec.alias("rec")
+            ).alias("trec"),
+        )
+        .groupBy("conv_id", "scope_name")
+        .agg(
+            F.concat(
+                F.lit('{"scope":{"name":"'), esc(F.col("scope_name")),
+                F.lit('"},"logRecords":['),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list("trec")), lambda e: e["rec"]
+                    ),
+                    ",",
+                ),
+                F.lit("]}"),
+            ).alias("scope_json")
+        )
+    )
+    envelopes = (
+        scopes.select(
+            "conv_id",
+            F.struct(
+                F.col("scope_name").alias("sn"), F.col("scope_json").alias("sj")
+            ).alias("sjs"),
+        )
+        .groupBy("conv_id")
+        .agg(
+            F.concat(
+                F.lit('{"resourceLogs":[{"resource":{"attributes":'
+                      '[{"key":"conv.id","value":{"stringValue":"'),
+                esc(F.col("conv_id")),
+                F.lit('"}}]},"scopeLogs":['),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list("sjs")), lambda e: e["sj"]
+                    ),
+                    ",",
+                ),
+                F.lit("]}]}"),
+            ).alias("wire")
+        )
+    )
+    schema = (
+        "resourceLogs array<struct<"
+        "resource:struct<attributes:array<struct<"
+        "key:string,value:struct<stringValue:string>>>>,"
+        "scopeLogs:array<struct<scope:struct<name:string>,"
+        "logRecords:array<struct<timeUnixNano:string,severityNumber:int,"
+        "severityText:string,body:struct<stringValue:string>,"
+        "eventName:string,attributes:array<struct<"
+        "key:string,value:struct<intValue:string>>>>>>>>>"
+    )
+    dec = envelopes.select(
+        "conv_id", F.from_json("wire", schema).alias("d")
+    ).select("conv_id", F.explode("d.resourceLogs").alias("rl"))
+    flat = (
+        dec.select(
+            "conv_id",
+            F.col("rl.resource.attributes")[0]["value"]["stringValue"]
+            .alias("res_conv"),
+            F.explode("rl.scopeLogs").alias("sl"),
+        )
+        .select(
+            "conv_id", "res_conv",
+            F.col("sl.scope.name").alias("scope_name"),
+            F.explode("sl.logRecords").alias("lr"),
+        )
+    )
+    return flat.select(
+        "conv_id",
+        "scope_name",
+        F.col("lr.attributes")[0]["value"]["intValue"].cast("int")
+        .alias("turn_idx"),
+        F.col("lr.timeUnixNano").cast("bigint").alias("ts_unix_nano"),
+        F.col("lr.severityNumber").alias("severity_number"),
+        F.col("lr.severityText").alias("severity_text"),
+        F.col("lr.body.stringValue").alias("body_text"),
+        F.col("lr.eventName").alias("event_name"),
+        (F.col("res_conv") == F.col("conv_id")).alias("roundtrip_ok"),
+    )
+
+
+def q_nested_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested Value model (P5/P6 completion, pcommon/value.go:114-130):
+    per-turn attribute bag with str/int/double/bool/slice/map-typed
+    values (functions/values.py variant struct), mutated with the P2
+    verbs (put env, remove status), rendered as canonical nested JSON
+    (AsRaw, sorted keys, value.go:405-412) plus the AsString rendering
+    of the nested map value — byte-identical in both engines."""
+    from opentelemetry_collector_spark.functions import values as V
+
+    df = _parsed(spark, sf_dir)
+    status = F.coalesce(F.col("status_code"), F.lit(0))
+    lat = F.coalesce(F.col("latency_ms"), F.lit(0.0)) / F.lit(2.0)
+    bag = F.create_map(
+        F.lit("msg"), V.vstr(F.coalesce(F.col("msg"), F.lit(""))),
+        F.lit("status"), V.vint(status),
+        F.lit("latency_s"), V.vdouble(lat),
+        F.lit("ok"), V.vbool(status < 400),
+        F.lit("tags"), V.vslice([
+            V.vstr(F.coalesce(F.col("tool_parsed"), F.lit("none"))),
+            V.vstr(F.col("event_kind")),
+        ]),
+        F.lit("ctx"), V.vmap([
+            ("conv", V.vstr(F.col("conv_id"))),
+            ("turn", V.vint(F.col("turn_idx"))),
+        ]),
+    )
+    bag = V.vmap_put(bag, "env", V.vstr(F.lit("prod")))
+    bag = V.vmap_remove(bag, "status")
+    return df.select(
+        "conv_id", "turn_idx",
+        V.vmap_as_raw_json(bag).alias("attrs_json"),
+        V.value_as_string(F.element_at(bag, F.lit("ctx"))).alias("ctx_str"),
+    )
+
+
 def q_proto_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-record OTLP protobuf wire size as scan-speed column math
     (pdata SizeProto law — functions/protosize.py). The bytes axis the
@@ -590,6 +748,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "render_asstring": q_render_asstring,
         "parse_errors": q_parse_errors,
         "otlp_json": q_otlp_json,
+        "otlp_envelope": q_otlp_envelope,
+        "nested_attrs": q_nested_attrs,
         "proto_size": q_proto_size,
         "lineage": q_lineage,
         "top_convs_per_tool": q_top_convs_per_tool,
@@ -822,6 +982,104 @@ def oracle_sql() -> dict[str, str]:
                    json_extract_string(j, '$.eventName') AS event_name,
                    (json_extract_string(j, '$.body.stringValue') = text) AS roundtrip_ok
             FROM wire
+        """,
+        "otlp_envelope": ("""
+            [P],
+            recjson AS (
+              SELECT conv_id, COALESCE(tool_parsed, 'none') AS scope_name,
+                     turn_idx,
+                     '{"timeUnixNano":"' ||
+                     CAST(CAST(floor(epoch(ts)) AS BIGINT) * 1000000000 AS VARCHAR) ||
+                     '","severityNumber":' || CAST(severity_num AS VARCHAR) ||
+                     ',"severityText":"' ||
+                     (CASE WHEN severity_num = 17 THEN 'ERROR'
+                           WHEN severity_num = 13 THEN 'WARN'
+                           WHEN severity_num = 9 THEN 'INFO' ELSE '' END) ||
+                     '","body":{"stringValue":"' || [ESCTEXT] ||
+                     '"},"eventName":"' || [ESCKIND] ||
+                     '","attributes":[{"key":"turn.idx","value":{"intValue":"' ||
+                     CAST(turn_idx AS VARCHAR) || '"}}]}' AS rec
+              FROM parsed
+            ),
+            scopejson AS (
+              SELECT conv_id, scope_name,
+                     '{"scope":{"name":"' || [ESCSCOPE] ||
+                     '"},"logRecords":[' ||
+                     string_agg(rec, ',' ORDER BY turn_idx) || ']}' AS scope_json
+              FROM recjson GROUP BY conv_id, scope_name
+            ),
+            env AS (
+              SELECT conv_id,
+                     '{"resourceLogs":[{"resource":{"attributes":[{"key":"conv.id","value":{"stringValue":"'
+                     || [ESCCONV] || '"}}]},"scopeLogs":[' ||
+                     string_agg(scope_json, ',' ORDER BY scope_name) ||
+                     ']}]}' AS wire
+              FROM scopejson GROUP BY conv_id
+            ),
+            dec AS (
+              SELECT conv_id, json_transform(wire, '[STRUCT]') AS d FROM env
+            ),
+            u1 AS (SELECT conv_id, UNNEST(d.resourceLogs) AS rl FROM dec),
+            u2 AS (SELECT conv_id,
+                          rl.resource.attributes[1].value.stringValue AS res_conv,
+                          UNNEST(rl.scopeLogs) AS sl FROM u1),
+            u3 AS (SELECT conv_id, res_conv, sl.scope.name AS scope_name,
+                          UNNEST(sl.logRecords) AS lr FROM u2)
+            SELECT conv_id, scope_name,
+                   CAST(lr.attributes[1].value.intValue AS INT) AS turn_idx,
+                   CAST(lr.timeUnixNano AS BIGINT) AS ts_unix_nano,
+                   lr.severityNumber AS severity_number,
+                   lr.severityText AS severity_text,
+                   lr.body.stringValue AS body_text,
+                   lr.eventName AS event_name,
+                   (res_conv = conv_id) AS roundtrip_ok
+            FROM u3
+        """
+        .replace("[P]", p)
+        .replace("[ESCTEXT]", sqltext.json_esc_sql("text"))
+        .replace("[ESCKIND]", sqltext.json_esc_sql("event_kind"))
+        .replace("[ESCSCOPE]", sqltext.json_esc_sql("scope_name"))
+        .replace("[ESCCONV]", sqltext.json_esc_sql("conv_id"))
+        .replace("[STRUCT]", (
+            '{"resourceLogs":[{"resource":{"attributes":[{"key":"VARCHAR",'
+            '"value":{"stringValue":"VARCHAR"}}]},"scopeLogs":[{"scope":'
+            '{"name":"VARCHAR"},"logRecords":[{"timeUnixNano":"VARCHAR",'
+            '"severityNumber":"INTEGER","severityText":"VARCHAR","body":'
+            '{"stringValue":"VARCHAR"},"eventName":"VARCHAR","attributes":'
+            '[{"key":"VARCHAR","value":{"intValue":"VARCHAR"}}]}]}]}]}'
+        ))),
+        "nested_attrs": f"""
+            {p},
+            vals AS (
+              SELECT conv_id, turn_idx,
+                     COALESCE(status_code, 0) AS status,
+                     COALESCE(latency_ms, 0) / 2.0 AS lat,
+                     COALESCE(msg, '') AS msg0,
+                     COALESCE(tool_parsed, 'none') AS tool0,
+                     event_kind
+              FROM parsed
+            ),
+            rendered AS (
+              SELECT conv_id, turn_idx,
+                     '{{"conv":"' || {sqltext.json_esc_sql("conv_id")} ||
+                     '","turn":' || CAST(turn_idx AS VARCHAR) || '}}' AS ctx_json,
+                     CASE WHEN lat = floor(lat)
+                          THEN CAST(CAST(floor(lat) AS BIGINT) AS VARCHAR)
+                          ELSE CAST(lat AS VARCHAR) END AS lat_json,
+                     '"' || {sqltext.json_esc_sql("msg0")} || '"' AS msg_json,
+                     CASE WHEN status < 400 THEN 'true' ELSE 'false' END AS ok_json,
+                     '["' || {sqltext.json_esc_sql("tool0")} || '","' ||
+                     {sqltext.json_esc_sql("event_kind")} || '"]' AS tags_json
+              FROM vals
+            )
+            SELECT conv_id, turn_idx,
+                   '{{"ctx":' || ctx_json ||
+                   ',"env":"prod","latency_s":' || lat_json ||
+                   ',"msg":' || msg_json ||
+                   ',"ok":' || ok_json ||
+                   ',"tags":' || tags_json || '}}' AS attrs_json,
+                   ctx_json AS ctx_str
+            FROM rendered
         """,
         "proto_size": f"""
             {p}

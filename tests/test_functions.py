@@ -65,3 +65,56 @@ def test_map_merge_last_win(spark):
     merged = maps.map_merge(base, over)
     row = spark.range(1).select(maps.map_get(merged, "k").alias("v")).collect()[0]
     assert row["v"] == "new"
+
+
+def test_variant_value_renderings(spark):
+    """Nested Value model: AsString / AsRaw-JSON per type tag
+    (pcommon/value.go:388-471), incl. escaping and ES6 doubles."""
+    from opentelemetry_collector_spark.functions import values as V
+
+    df = spark.range(1)
+    row = df.select(
+        V.value_as_string(V.vstr(F.lit('say "hi"\tnow'))).alias("s"),
+        V.value_as_raw_json(V.vstr(F.lit('say "hi"\tnow'))).alias("sj"),
+        V.value_as_string(V.vint(F.lit(42))).alias("i"),
+        V.value_as_string(V.vdouble(F.lit(3.0))).alias("d_int"),
+        V.value_as_string(V.vdouble(F.lit(2.5))).alias("d_frac"),
+        V.value_as_string(V.vbool(F.lit(True))).alias("b"),
+        V.value_as_string(V.vbytes(F.lit(b"hi"))).alias("byt"),
+        V.value_as_raw_json(V.vempty()).alias("e"),
+        V.value_as_raw_json(
+            V.vslice([V.vint(F.lit(1)), V.vstr(F.lit("x"))])
+        ).alias("sl"),
+        V.value_as_raw_json(
+            V.vmap([("b", V.vbool(F.lit(False))), ("a", V.vint(F.lit(7)))])
+        ).alias("m"),
+    ).first()
+    assert row["s"] == 'say "hi"\tnow'  # AsString: bare, unescaped
+    assert row["sj"] == '"say \\"hi\\"\\tnow"'  # AsRaw JSON: escaped
+    assert row["i"] == "42" and row["b"] == "true" and row["byt"] == "aGk="
+    assert row["d_int"] == "3" and row["d_frac"] == "2.5"  # ES6 doubles
+    assert row["e"] == "null"
+    assert row["sl"] == '[1,"x"]'
+    assert row["m"] == '{"a":7,"b":false}'  # sorted keys
+
+
+def test_variant_map_verbs(spark):
+    """P2 verbs generalized to variant-valued maps: put (last-write-
+    wins), remove, keep_keys, nested raw-JSON rendering."""
+    from opentelemetry_collector_spark.functions import values as V
+
+    df = spark.range(1)
+    bag = F.create_map(
+        F.lit("x"), V.vint(F.lit(1)),
+        F.lit("y"), V.vstr(F.lit("old")),
+        F.lit("z"), V.vbool(F.lit(True)),
+    )
+    bag = V.vmap_put(bag, "y", V.vstr(F.lit("new")))  # upsert wins
+    bag = V.vmap_remove(bag, "z")
+    kept = V.vmap_keep_keys(bag, ["y"])
+    row = df.select(
+        V.vmap_as_raw_json(bag).alias("j"),
+        V.vmap_as_raw_json(kept).alias("k"),
+    ).first()
+    assert row["j"] == '{"x":1,"y":"new"}'
+    assert row["k"] == '{"y":"new"}'
