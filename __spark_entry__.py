@@ -570,6 +570,27 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(_docs_aug(spark, sf_dir), id_col="id")
 
 
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: exact connected components over the MinHash
+    candidate-pair graph (min-label propagation to fixpoint; grp = min
+    id in the component). Value-oracled against a DuckDB recursive CTE
+    computing min-reachable over the identical pair set — the keep-one
+    half of dedup that a pair list alone cannot answer."""
+    from opentelemetry_collector_spark.operators import dedup
+    pairs = dedup.minhash_lsh_pairs(_docs_aug(spark, sf_dir), id_col="id")
+    return dedup.connected_components(pairs)
+
+
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-one dedup end-to-end: the corpus minus every non-
+    representative member of a duplicate component (broadcast anti-join
+    against the component losers)."""
+    from opentelemetry_collector_spark.operators import dedup
+    docs = _docs_aug(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(docs, id_col="id")
+    return dedup.dedup_survivors(docs, pairs, id_col="id").select("id")
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from opentelemetry_collector_spark.operators import dedup
     return dedup.simhash_pairs(_docs_aug(spark, sf_dir), id_col="id")
@@ -617,6 +638,21 @@ def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.persist()
     return similarity.ivf_topk(
         out, out.filter(F.col("vec_id") < 10), cell_col="cell"
+    )
+
+
+def q_ann_ivf_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF (probes=2): each query searches its two nearest
+    k-means cells — the recall/cost knob one level up from the
+    single-probe `ann_ivf_kmeans`. Fully value-oracled: probe selection
+    uses the same rounded-distance + index tie-break as the cell
+    assignment, so DuckDB ranks the identical two cells."""
+    from opentelemetry_collector_spark.operators import similarity
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out, cents = similarity.kmeans_cells(emb, k=8, iters=1)
+    out = out.persist()
+    return similarity.ivf_topk_probed(
+        out, out.filter(F.col("vec_id") < 10), cents, probes=2
     )
 
 
@@ -761,6 +797,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_convs": q_top_convs,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_groups": q_dedup_groups,
+        "dedup_survivors": q_dedup_survivors,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
@@ -771,6 +809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_cells": q_kmeans_cells,
         "kmeans_cells_sampled": q_kmeans_cells_sampled,
         "ann_ivf_kmeans": q_ann_ivf_kmeans,
+        "ann_ivf_probe2": q_ann_ivf_probe2,
         "dedup_embedding_kmeans": q_dedup_embedding_kmeans,
         "token_count": q_token_count,
         "quality_score": q_quality_score,
@@ -787,6 +826,49 @@ def oracle_sql() -> dict[str, str]:
     t = sqltext.transcripts_cte("events")
     p = sqltext.parsed_cte("events")
     parsed_cols = ", ".join(_PARSED_COLS)
+    mh_pairs = f"""
+            WITH docs AS ({sqltext.DOCS_AUG_SQL}),
+            sh AS (
+              SELECT id, {sqltext.SHINGLES_EXPR} AS sh
+              FROM (SELECT id, {sqltext.WORDS_EXPR} AS w, text FROM docs)
+            ),
+            hs AS (
+              SELECT id, list_transform(sh, s -> {sqltext.SHINGLE_HASH_EXPR}) AS hs
+              FROM sh
+            ),
+            sig AS (
+              SELECT id, {sqltext.minhash_sig_sql_list(12)} AS mh FROM hs
+            ),
+            banded AS (
+              SELECT id, CAST(b AS INT) AS band,
+                     array_to_string(list_slice(mh, b*3 + 1, b*3 + 3), '|') AS key
+              FROM sig, (SELECT unnest(generate_series(0, 3)) AS b)
+            )
+            SELECT a.id AS id_a, b.id AS id_b, count(*) AS matching_bands
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.key = b.key AND a.id < b.id
+            GROUP BY 1, 2
+        """
+    # min-reachable-id connected components over the MinHash pair graph
+    # as a recursive CTE (grp = min id in the component); ends with
+    # ``grouped(id, grp)`` — append the consuming SELECT
+    cc_groups = f"""
+            WITH RECURSIVE pairs AS (
+              SELECT * FROM ({mh_pairs}) t0
+            ),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL
+              SELECT id_b AS src, id_a AS dst FROM pairs
+            ),
+            nodes AS (SELECT DISTINCT src AS id FROM edges),
+            reach(id, root) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id
+            ),
+            grouped AS (SELECT id, min(root) AS grp FROM reach GROUP BY id)
+        """
     return {
         "transcripts": f"{t} SELECT * FROM transcripts",
         "parse": f"{p} SELECT {parsed_cols} FROM parsed",
@@ -1196,28 +1278,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS fp, min(id) AS keep_id, count(*) AS n_copies
             FROM docs GROUP BY 1
         """,
-        "dedup_minhash_lsh": f"""
-            WITH docs AS ({sqltext.DOCS_AUG_SQL}),
-            sh AS (
-              SELECT id, {sqltext.SHINGLES_EXPR} AS sh
-              FROM (SELECT id, {sqltext.WORDS_EXPR} AS w, text FROM docs)
-            ),
-            hs AS (
-              SELECT id, list_transform(sh, s -> {sqltext.SHINGLE_HASH_EXPR}) AS hs
-              FROM sh
-            ),
-            sig AS (
-              SELECT id, {sqltext.minhash_sig_sql_list(12)} AS mh FROM hs
-            ),
-            banded AS (
-              SELECT id, CAST(b AS INT) AS band,
-                     array_to_string(list_slice(mh, b*3 + 1, b*3 + 3), '|') AS key
-              FROM sig, (SELECT unnest(generate_series(0, 3)) AS b)
-            )
-            SELECT a.id AS id_a, b.id AS id_b, count(*) AS matching_bands
-            FROM banded a JOIN banded b
-              ON a.band = b.band AND a.key = b.key AND a.id < b.id
-            GROUP BY 1, 2
+        "dedup_minhash_lsh": mh_pairs,
+        "dedup_groups": cc_groups + "SELECT id, grp FROM grouped",
+        "dedup_survivors": cc_groups + f""",
+            docs2 AS ({sqltext.DOCS_AUG_SQL})
+            SELECT d.id FROM docs2 d
+            LEFT JOIN grouped g ON g.id = d.id AND g.id != g.grp
+            WHERE g.id IS NULL
         """,
         "dedup_ngram_jaccard": f"""
             WITH docs AS ({sqltext.DOCS_AUG_SQL}),
@@ -1319,6 +1386,39 @@ def oracle_sql() -> dict[str, str]:
                      CAST(e.embedding AS DOUBLE[]) AS qv
               FROM embeddings e JOIN kcells kc USING (vec_id)
               WHERE e.vec_id < 10
+            ),
+            c AS (
+              SELECT e.vec_id AS nbr_id, kc.cell AS cell,
+                     CAST(e.embedding AS DOUBLE[]) AS cv
+              FROM embeddings e JOIN kcells kc USING (vec_id)
+            ),
+            scored AS (
+              SELECT query_id, nbr_id,
+                     round(list_dot_product(qv, cv) /
+                           (sqrt(list_dot_product(qv, qv)) *
+                            sqrt(list_dot_product(cv, cv))), 4) AS cos
+              FROM c JOIN q ON cell = qcell AND query_id != nbr_id
+            ),
+            ranked AS (
+              SELECT *, CAST(row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS INT) AS rank
+              FROM scored
+            )
+            SELECT query_id, rank, nbr_id, cos FROM ranked WHERE rank <= 5
+        """,
+        "ann_ivf_probe2": sqltext.kmeans_cells_cte()
+        + """,
+            qprobe AS (
+              SELECT vec_id AS query_id, cell AS qcell FROM (
+                SELECT vec_id, cell,
+                       row_number() OVER (
+                         PARTITION BY vec_id ORDER BY d2, cell) AS rn
+                FROM d1
+              ) WHERE rn <= 2 AND vec_id < 10
+            ),
+            q AS (
+              SELECT p.query_id, p.qcell, CAST(e.embedding AS DOUBLE[]) AS qv
+              FROM qprobe p JOIN embeddings e ON e.vec_id = p.query_id
             ),
             c AS (
               SELECT e.vec_id AS nbr_id, kc.cell AS cell,

@@ -568,3 +568,89 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Exact connected components over a duplicate-pair graph — the
+    keep-one half of dedup: a (near-)dup PAIR list does not say which
+    documents to drop; grouping pairs into clusters (and keeping, say,
+    the min-id representative) does. Returns one row per node that
+    appears in any pair: (id, grp) with grp = the minimum id reachable
+    in the component — deterministic, engine-independent, so a DuckDB
+    recursive CTE value-oracles it.
+
+    Algorithm: min-label propagation to fixpoint. labels start as the
+    node's own id; each round every node takes the min of its label and
+    its neighbors' labels; converges in O(component diameter) rounds
+    (duplicate clusters are near-cliques from banded candidate
+    generation — diameter is small by construction, and the bucket caps
+    upstream bound component size). Each round is one shuffle join +
+    one aggregation on id — no driver-side graph, no collect; labels
+    are persisted per round and the previous round released. The sum of
+    labels decreases monotonically, so convergence is detected by an
+    aggregate equality — one extra scalar per round, no row-level diff.
+    The reference has no graph operator (its dataflow IS a DAG of
+    consumers); this is charter scope (LLM training-data dedup).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+    )
+    edges = _persist(edges)
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .withColumn("label", F.col("id"))
+    )
+    labels = _persist(labels)
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels, edges["src"] == labels["id"])
+            .groupBy(F.col("dst").alias("id2"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["id2"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        new_labels = _persist(new_labels)
+        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        labels = new_labels
+        if new_sum == prev_sum:  # labels only decrease: equal sum = fixpoint
+            break
+        prev_sum = new_sum
+    else:
+        logger.warning(
+            "connected_components: no fixpoint after %d rounds "
+            "(component diameter exceeds max_iters; labels are an "
+            "upper-bound grouping)", max_iters,
+        )
+    return labels.select("id", F.col("label").alias("grp"))
+
+
+def dedup_survivors(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep-one dedup: drop every document that belongs to a duplicate
+    component but is not its min-id representative. One broadcast-able
+    anti-join against the (tiny, component-bounded) non-representative
+    set; documents in no pair pass through untouched."""
+    groups = connected_components(pairs)
+    losers = groups.filter(F.col("id") != F.col("grp")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

@@ -195,6 +195,26 @@ def assign_cells_expr(vec: Column, centroids: list[list[float]]) -> Column:
     return F.array_min(scored)["j"]
 
 
+def probe_cells_expr(vec: Column, centroids: list[list[float]], probes: int) -> Column:
+    """The ``probes`` nearest centroid ids in distance order — the IVF
+    multi-probe knob (each extra probe trades compute for recall).
+    Same rounded distance + index tie-break as the argmin assignment
+    (array_sort over struct<d,j> orders by d then j), so probe 1 is
+    exactly :func:`assign_cells_expr`'s cell."""
+    scored = F.array(
+        *[
+            F.named_struct(
+                F.lit("d"), F.round(_sq_dist_expr(vec, c), 6),
+                F.lit("j"), F.lit(j),
+            )
+            for j, c in enumerate(centroids)
+        ]
+    )
+    return F.transform(
+        F.slice(F.array_sort(scored), 1, probes), lambda s: s["j"]
+    )
+
+
 def assign_cells_arrow(centroids: list[list[float]]):
     """Arrow-vectorized twin of :func:`assign_cells_expr` — BIT-EXACT:
     distances accumulate dim-by-dim in a Python loop of numpy float64
@@ -359,6 +379,48 @@ def ivf_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(cell_col).alias("qcell"),
+        _as_double(F.col(vec_col)).alias("qv"),
+    )
+    scored = c.join(
+        F.broadcast(q),
+        (F.col("cell") == F.col("qcell")) & (F.col("query_id") != F.col("nbr_id")),
+    ).select(
+        "query_id",
+        "nbr_id",
+        _cos_rounded(F.col("qv"), F.col("cv"), score_path).alias("cos"),
+    )
+    return _topk_per_query(scored, k, fanout)
+
+
+def ivf_topk_probed(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    probes: int = 2,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+    score_path: str = "arrow",
+    fanout: int = 64,
+) -> DataFrame:
+    """Multi-probe IVF: each query searches its ``probes`` nearest
+    k-means cells (probe_cells_expr over the broadcast centroids) —
+    the standard recall/cost knob one level up from single-probe
+    :func:`ivf_topk`. Cells are disjoint, so the probed candidate sets
+    union without duplicates; the rank is the same bounded two-level
+    form. ``corpus`` must carry ``cell_col`` (the argmin assignment);
+    measured recall vs exact is the ``ann_recall`` pattern."""
+    c = corpus.select(
+        F.col(id_col).alias("nbr_id"),
+        F.col(cell_col).alias("cell"),
+        _as_double(F.col(vec_col)).alias("cv"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(
+            probe_cells_expr(_as_double(F.col(vec_col)), centroids, probes)
+        ).alias("qcell"),
         _as_double(F.col(vec_col)).alias("qv"),
     )
     scored = c.join(

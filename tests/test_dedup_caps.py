@@ -77,6 +77,29 @@ def test_ivf_degenerate_cell_exact_and_cappable(spark):
     dedup.release_cached()
 
 
+def test_connected_components_chain_and_forest(spark):
+    """Min-label propagation must reach the true component minimum
+    across a multi-hop chain (diameter > 1 forces several rounds) and
+    keep disjoint components apart; survivors keep exactly the min-id
+    representative plus untouched nodes."""
+    pairs = spark.createDataFrame(
+        [(2, 3), (3, 4), (4, 5), (10, 11), (20, 21), (21, 22)],
+        "id_a bigint, id_b bigint",
+    )
+    got = {r["id"]: r["grp"] for r in dedup.connected_components(pairs).collect()}
+    assert got == {2: 2, 3: 2, 4: 2, 5: 2, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in [1, 2, 3, 4, 5, 10, 11, 20, 21, 22]],
+        "doc_id bigint, text string",
+    )
+    kept = sorted(
+        r["doc_id"] for r in dedup.dedup_survivors(docs, pairs).collect()
+    )
+    assert kept == [1, 2, 10, 20]  # 1 untouched; 2/10/20 are representatives
+    dedup.release_cached()
+
+
 def test_release_cached_empties_registry(spark):
     docs = _degenerate_docs(spark, n=5)
     dedup.minhash_lsh_pairs(docs).count()
