@@ -468,6 +468,27 @@ def q_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lineage_ops.logical_lineage(routed)
 
 
+def q_multi_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-route fan-out (R3, connector/logs_router.go:48-69 routing a
+    record to a SUBSET of pipelines): every record goes to its tool
+    sink; WARN-and-worse records (severity >= 13, i.e. 4xx/5xx) ALSO fan
+    to an audit sink — exactly-once per (record, matched sink) via
+    explode_routes. Per-sink row/byte accounting value-oracled."""
+    df = _parsed(spark, sf_dir).filter(F.col("parse_ok"))
+    multi = F.filter(
+        F.array(
+            route_ops.route_expr(),
+            F.when(F.col("severity_num") >= 13, F.lit("sink_audit")),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    exploded = route_ops.explode_routes(df, multi)
+    return exploded.groupBy("route").agg(
+        F.count(F.lit(1)).alias("row_count"),
+        F.sum(F.octet_length("text")).alias("bytes_sum"),
+    )
+
+
 def q_union_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared-sink union (R5): two routes targeting one physical table
     union rather than double-write (graph.go:213-248 node dedup)."""
@@ -789,6 +810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proto_size": q_proto_size,
         "lineage": q_lineage,
         "top_convs_per_tool": q_top_convs_per_tool,
+        "multi_route": q_multi_route,
         "union_sinks": q_union_sinks,
         "turn_order": q_turn_order,
         "conv_stats": q_conv_stats,
@@ -1191,6 +1213,19 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY count(*) DESC, conv_id ASC) AS rank
               FROM transcripts GROUP BY tool, conv_id
             ) WHERE rank <= 3
+        """,
+        "multi_route": f"""
+            {p},
+            fanned AS (
+              SELECT {sqltext.ROUTE_CASE_SQL} AS route, text
+              FROM parsed WHERE parse_ok
+              UNION ALL
+              SELECT 'sink_audit' AS route, text
+              FROM parsed WHERE parse_ok AND severity_num >= 13
+            )
+            SELECT route, count(*) AS row_count,
+                   CAST(sum(strlen(text)) AS BIGINT) AS bytes_sum
+            FROM fanned GROUP BY route
         """,
         "union_sinks": f"""
             {p}

@@ -48,6 +48,43 @@ class TableCatalog:
     def append(self, table: str, df: DataFrame) -> None:
         df.write.mode("append").parquet(self.path(table))
 
+    def overwrite_bucketed(
+        self,
+        table: str,
+        df: DataFrame,
+        buckets: int,
+        bucket_cols: list[str],
+        sort_cols: list[str] | None = None,
+        max_records_per_file: int = 0,
+    ) -> None:
+        """Hash-bucketed table write (``bucketBy`` + ``saveAsTable``):
+        two tables bucketed identically on the join key join with NO
+        exchange on either side — the co-located fact-fact join that a
+        100 TB warehouse needs (a plain join of two 50 TB tables
+        shuffles both; bucketed, each task reads matching bucket files
+        directly). ``sort_cols`` additionally pre-sorts within buckets
+        so the merge join skips its sort. Bucket metadata lives in the
+        session catalog (local sandbox); on a real deployment this is
+        an Iceberg bucket-partitioned table, same plan shape."""
+        name = table.replace("/", "_").replace("-", "_")
+        w = (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .option("path", self.path(table))
+        )
+        if max_records_per_file:
+            w = w.option("maxRecordsPerFile", str(max_records_per_file))
+        w = w.bucketBy(buckets, *bucket_cols)
+        if sort_cols:
+            w = w.sortBy(*sort_cols)
+        w.saveAsTable(name)
+
+    def read_table(self, table: str) -> DataFrame:
+        """Catalog read — REQUIRED for bucketed tables: the bucket spec
+        rides the catalog entry, so ``spark.read.parquet`` on the same
+        path would silently lose the no-shuffle join property."""
+        return self.spark.table(table.replace("/", "_").replace("-", "_"))
+
     def overwrite_local(
         self, table: str, rows: list[tuple], schema: list[tuple[str, str]]
     ) -> None:

@@ -78,6 +78,41 @@ def test_ann_rank_is_two_level_bounded(spark, sf_dir):
         assert "_lr" in plan, "local k-filter missing"
 
 
+def test_bucketed_tables_join_without_exchange(spark, sf_dir, tmp_path):
+    """Two tables bucketed identically on the join key must sort-merge
+    join with NO shuffle exchange on either side — the co-located join
+    the bucketed sink write exists for."""
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_spark.operators import parse as parse_ops
+    from opentelemetry_collector_spark.sinks.tables import TableCatalog
+    from opentelemetry_collector_spark.sources import derive_transcripts
+
+    cat = TableCatalog(spark, str(tmp_path / "whb"))
+    parsed = parse_ops.parse_stage(derive_transcripts(spark, sf_dir))
+    cat.overwrite_bucketed(
+        "bturns", parsed.select("conv_id", "turn_idx", "text"),
+        8, ["conv_id"], sort_cols=["conv_id"],
+    )
+    cat.overwrite_bucketed(
+        "bstats",
+        parsed.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_turns")),
+        8, ["conv_id"], sort_cols=["conv_id"],
+    )
+    joined = (
+        cat.read_table("bturns")
+        .hint("merge")
+        .join(cat.read_table("bstats"), "conv_id")
+    )
+    plan = _plan(joined)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, plan[:2000]
+    # sanity: the join actually works
+    assert joined.count() == parsed.count()
+    spark.sql("DROP TABLE IF EXISTS bturns")
+    spark.sql("DROP TABLE IF EXISTS bstats")
+
+
 def test_kmeans_train_sample_plans_bounded_topk(spark, sf_dir):
     """The k-means training sample must plan TakeOrderedAndProject
     (bounded per-partition top-k merge) — not a global sort — so the
