@@ -604,9 +604,16 @@ def connected_components(
         )
     )
     edges = _persist(edges)
+    # round 0 fused into the node extraction: label = min(self, nbrs).
+    # Star-shaped dup clusters (the common case from banded candidate
+    # generation) converge here; the loop then only confirms.
     labels = (
-        edges.select(F.col("src").alias("id")).distinct()
-        .withColumn("label", F.col("id"))
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("m"))
+        .select(
+            F.col("src").alias("id"),
+            F.least(F.col("src"), F.col("m")).alias("label"),
+        )
     )
     labels = _persist(labels)
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
@@ -627,6 +634,7 @@ def connected_components(
         )
         new_labels = _persist(new_labels)
         new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        labels.unpersist()  # superseded round's cache released eagerly
         labels = new_labels
         if new_sum == prev_sum:  # labels only decrease: equal sum = fixpoint
             break
