@@ -432,3 +432,49 @@ def ivf_topk_probed(
         _cos_rounded(F.col("qv"), F.col("cv"), score_path).alias("cos"),
     )
     return _topk_per_query(scored, k, fanout)
+
+
+def save_ivf_index(
+    catalog,
+    name: str,
+    df_with_cells: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> None:
+    """Persist an IVF index: the assigned corpus lands cell-PARTITIONED
+    (``name/cell=J/``), so a probe reads only its cell's files —
+    partition pruning is the on-disk face of the cell restriction that
+    makes IVF 100 TB-feasible. Centroids (k×dim doubles) are a tiny
+    driver-side metadata table (``name_centroids``), the same
+    manifest-style write the lineage tables use. Build once, probe
+    many — the index lifecycle a real vector pipeline runs."""
+    catalog.overwrite(
+        name,
+        df_with_cells.select(id_col, vec_col, cell_col),
+        partition_by=[cell_col],
+    )
+    rows = [
+        (j, pos, float(x))
+        for j, c in enumerate(centroids)
+        for pos, x in enumerate(c)
+    ]
+    catalog.overwrite_local(
+        f"{name}_centroids", rows,
+        [("cell", "int32"), ("pos", "int32"), ("x", "float64")],
+    )
+
+
+def load_ivf_index(catalog, name: str) -> tuple[DataFrame, list[list[float]]]:
+    """Load a saved IVF index: (cell-partitioned corpus DataFrame,
+    centroids). Filtering the returned frame on the cell column prunes
+    to that cell's partition directory (asserted in plan tests)."""
+    df = catalog.read(name)
+    crows = catalog.read(f"{name}_centroids").collect()
+    k = max(r["cell"] for r in crows) + 1
+    dim = max(r["pos"] for r in crows) + 1
+    cents = [[0.0] * dim for _ in range(k)]
+    for r in crows:
+        cents[r["cell"]][r["pos"]] = r["x"]
+    return df, cents
