@@ -159,6 +159,20 @@ def test_kmeans_train_sample_plans_bounded_topk(spark, sf_dir):
     assert "Sort " not in plan  # no global SortExec
 
 
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    """Projection pruning must reach the parquet scan: a 2-column query
+    over documents reads exactly (doc_id, text) — not the full schema.
+    The property that keeps a 100 TB scan from reading bytes the query
+    never touches."""
+    import __spark_entry__ as m
+
+    plan = _plan(m.queries()["token_count"](spark, sf_dir))
+    scan = next(ln for ln in plan.splitlines() if "ReadSchema" in ln)
+    schema = scan.split("ReadSchema:")[1]
+    assert "doc_id" in schema and "text" in schema
+    assert "lang" not in schema and "source" not in schema  # unused cols
+
+
 def test_lineage_aggregation_is_partial(spark, sf_dir):
     """logical_lineage must plan a two-phase hash aggregate (map-side
     partial_count/partial_sum before the shuffle)."""
