@@ -591,6 +591,33 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(_docs_aug(spark, sf_dir), id_col="id")
 
 
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM-training-data pipeline end to end, value-oracled as ONE
+    composed plan: augmented corpus → MinHash candidate pairs →
+    connected-components keep-one dedup → token/quality/language
+    scoring → quality gate → per-language corpus stats. Exactly the
+    curation job a 100 TB text corpus runs nightly; every stage is the
+    already-oracled operator, composed."""
+    from opentelemetry_collector_spark.operators import dedup, textstats
+
+    docs = _docs_aug(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(docs, id_col="id")
+    kept = dedup.dedup_survivors(docs, pairs, id_col="id")
+    scored = textstats.lang_id(
+        textstats.quality_score(textstats.token_count(kept))
+    )
+    good = scored.filter(F.col("quality") >= 0.5)
+    return good.groupBy("lang_guess").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(
+            F.sum(F.col("quality").cast("decimal(10,6)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("avg_quality"),
+    )
+
+
 def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clusters: exact connected components over the MinHash
     candidate-pair graph (min-label propagation to fixpoint; grp = min
@@ -703,6 +730,34 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from opentelemetry_collector_spark.operators import similarity
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 10))
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN (random-hyperplane cells — the trainless
+    alternative to the k-means IVF): deterministic md5-derived
+    hyperplanes are injected as literals into BOTH engines, the bucket
+    id is pure fold arithmetic, and the rank is the bounded two-level
+    form. n_planes=6 → 64 cosine-direction buckets."""
+    from opentelemetry_collector_spark.operators import similarity
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 10), n_planes=6)
+
+
+def _lsh_planes_64_6() -> list[list[float]]:
+    """The hyperplane constants q_ann_lsh uses (dim 64, 6 planes)."""
+    from opentelemetry_collector_spark.operators import similarity
+
+    return similarity.lsh_planes(64, 6)
+
+
+def _lsh_bucket_sql(vec_sql: str, planes: list[list[float]]) -> str:
+    """DuckDB twin of similarity.lsh_bucket_expr over the same literal
+    hyperplanes."""
+    return " + ".join(
+        f"CAST(list_dot_product({vec_sql}, [{', '.join(repr(x) for x in plane)}])"
+        f" >= 0 AS INT) * {1 << p}"
+        for p, plane in enumerate(planes)
+    )
 
 
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -820,6 +875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_groups": q_dedup_groups,
+        "corpus_curation": q_corpus_curation,
         "dedup_survivors": q_dedup_survivors,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
@@ -832,6 +888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_cells_sampled": q_kmeans_cells_sampled,
         "ann_ivf_kmeans": q_ann_ivf_kmeans,
         "ann_ivf_probe2": q_ann_ivf_probe2,
+        "ann_lsh": q_ann_lsh,
         "dedup_embedding_kmeans": q_dedup_embedding_kmeans,
         "token_count": q_token_count,
         "quality_score": q_quality_score,
@@ -1315,6 +1372,46 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_minhash_lsh": mh_pairs,
         "dedup_groups": cc_groups + "SELECT id, grp FROM grouped",
+        "corpus_curation": cc_groups + f""",
+            docs3 AS ({sqltext.DOCS_AUG_SQL}),
+            kept AS (
+              SELECT d.id, d.text FROM docs3 d
+              LEFT JOIN grouped g ON g.id = d.id AND g.id != g.grp
+              WHERE g.id IS NULL
+            ),
+            feat0 AS (
+              SELECT id, text, {sqltext.WORDS_EXPR} AS w,
+                     CAST(length(lower(trim(text))) AS INT) AS n_chars,
+                     length(regexp_replace(lower(trim(text)), '[a-z0-9 ]', '', 'g')) AS punct
+              FROM kept
+            ),
+            feat AS (
+              SELECT id, CAST(len(w) AS INT) AS n_tokens,
+                     round(least(1.0, CAST(len(w) AS DOUBLE) / 64.0) *
+                           (1.0 - round(CAST(punct AS DOUBLE) / n_chars, 6)),
+                           6) AS quality,
+                     len(list_filter(w, x -> x IN ('the', 'of', 'and'))) AS h_en,
+                     len(list_filter(w, x -> x IN ('el', 'la', 'de'))) AS h_es,
+                     len(list_filter(w, x -> x IN ('der', 'die', 'und'))) AS h_de,
+                     len(list_filter(w, x -> x IN ('le', 'la', 'et'))) AS h_fr,
+                     len(list_filter(w, x -> x IN ('的', '是', '了'))) AS h_zh
+              FROM feat0
+            ),
+            langed AS (
+              SELECT id, n_tokens, quality,
+                     CASE WHEN m = 0 THEN 'und'
+                          WHEN h_en = m THEN 'en' WHEN h_es = m THEN 'es'
+                          WHEN h_de = m THEN 'de' WHEN h_fr = m THEN 'fr'
+                          ELSE 'zh' END AS lang_guess
+              FROM (SELECT *, greatest(h_en, h_es, h_de, h_fr, h_zh) AS m
+                    FROM feat)
+            )
+            SELECT lang_guess, count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                   round(CAST(sum(CAST(quality AS DECIMAL(10,6))) AS DOUBLE)
+                         / count(*), 4) AS avg_quality
+            FROM langed WHERE quality >= 0.5 GROUP BY lang_guess
+        """,
         "dedup_survivors": cc_groups + f""",
             docs2 AS ({sqltext.DOCS_AUG_SQL})
             SELECT d.id FROM docs2 d
@@ -1433,6 +1530,28 @@ def oracle_sql() -> dict[str, str]:
                            (sqrt(list_dot_product(qv, qv)) *
                             sqrt(list_dot_product(cv, cv))), 4) AS cos
               FROM c JOIN q ON cell = qcell AND query_id != nbr_id
+            ),
+            ranked AS (
+              SELECT *, CAST(row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS INT) AS rank
+              FROM scored
+            )
+            SELECT query_id, rank, nbr_id, cos FROM ranked WHERE rank <= 5
+        """,
+        "ann_lsh": f"""
+            WITH b AS (
+              SELECT vec_id, v,
+                     {_lsh_bucket_sql("v", _lsh_planes_64_6())} AS bkt
+              FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings)
+            ),
+            scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+                     round(list_dot_product(q.v, c.v) /
+                           (sqrt(list_dot_product(q.v, q.v)) *
+                            sqrt(list_dot_product(c.v, c.v))), 4) AS cos
+              FROM b c JOIN b q
+                ON c.bkt = q.bkt AND q.vec_id < 10 AND q.vec_id != c.vec_id
             ),
             ranked AS (
               SELECT *, CAST(row_number() OVER (

@@ -478,3 +478,60 @@ def load_ivf_index(catalog, name: str) -> tuple[DataFrame, list[list[float]]]:
     for r in crows:
         cents[r["cell"]][r["pos"]] = r["x"]
     return df, cents
+
+
+def lsh_planes(dim: int, n_planes: int = 8) -> list[list[float]]:
+    """Deterministic random hyperplanes for sign-LSH bucketing:
+    components derive from md5 of (plane, dim-index), uniform in
+    [-1, 1] — no RNG, so the same constants are injected as literals
+    into both the Spark plan and the DuckDB oracle. The standard
+    random-hyperplane family: P(same bit) = 1 - angle/pi, so a
+    ``n_planes``-bit bucket groups by cosine direction."""
+    import hashlib
+
+    return [
+        [
+            (int(hashlib.md5(f"{p}_{d}".encode()).hexdigest()[:8], 16) % 2001
+             - 1000) / 1000.0
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def lsh_bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-LSH bucket id: bit p = (vec · plane_p >= 0), packed into an
+    int. Pure fold arithmetic (JVM codegen, no UDF); the dot runs in
+    the same sequential fold order as DuckDB's list_dot_product, so
+    bucket ids are bit-identical cross-engine."""
+    bucket = F.lit(0)
+    for p, plane in enumerate(planes):
+        dot = dot_expr(vec, F.array(*[F.lit(float(x)) for x in plane]))
+        bucket = bucket + (dot >= 0).cast("int") * F.lit(1 << p)
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_planes: int = 8,
+    dim: int = 64,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_path: str = "arrow",
+    fanout: int = 64,
+) -> DataFrame:
+    """LSH-bucketed ANN — the other standard cell function next to the
+    k-means IVF: candidates are corpus vectors in the query's sign-LSH
+    bucket (cosine-direction cells, no training pass at all). Same
+    bounded-rank machinery as :func:`ivf_topk`; the recall/cost knob is
+    ``n_planes`` (fewer planes = bigger buckets = higher recall)."""
+    planes = lsh_planes(dim, n_planes)
+    bucket = lsh_bucket_expr(_as_double(F.col(vec_col)), planes)
+    return ivf_topk(
+        corpus.withColumn("_lshb", bucket),
+        queries.withColumn("_lshb", bucket),
+        k=k, id_col=id_col, vec_col=vec_col, cell_col="_lshb",
+        score_path=score_path, fanout=fanout,
+    )
