@@ -181,6 +181,22 @@ def vmap_keep_keys(m: Column, keys: list[str]) -> Column:
     return F.map_filter(m, lambda k, _: F.array_contains(arr, k))
 
 
+def lift_attrs(m: Column) -> Column:
+    """Lift a flat ``map<string,string>`` attribute bag (the pipeline's
+    parse-stage attrs) into a variant-valued map, so the nested verbs
+    and renderings apply to existing columns without re-parsing —
+    pcommon's FromRaw promotion (value.go:252-320) for the string
+    case."""
+    return F.map_from_entries(
+        F.transform(
+            F.map_entries(m),
+            lambda e: F.struct(
+                e["key"].alias("key"), vstr(e["value"]).alias("value")
+            ),
+        )
+    )
+
+
 def vmap_as_raw_json(m: Column) -> Column:
     """The whole attribute bag as nested JSON in sorted key order
     (Map.AsRaw → json, the nested generalization of

@@ -57,13 +57,31 @@ def stream_transcripts(spark: SparkSession, path: str, max_files: int = 16) -> D
     )
 
 
-def transform(stream: DataFrame, spark: SparkSession) -> DataFrame:
-    """parse → enrich → route, identical code to the batch plan."""
-    parsed = parse_ops.parse_stage(stream).filter(F.col("parse_ok"))
+def transform(
+    stream: DataFrame, spark: SparkSession, quarantine: bool = False
+) -> DataFrame:
+    """parse → enrich → route, identical code to the batch plan.
+
+    ``quarantine=True`` gives the streaming path the batch pipeline's F7
+    semantics: unparseable records are NOT dropped — they route to the
+    ``quarantine`` sink (permanent-error rows stay addressable,
+    consumererror/permanent.go:16-32), while parseable records route
+    normally. The writer just needs ``quarantine`` in its sink list."""
+    parsed = parse_ops.parse_stage(stream)
+    if not quarantine:
+        parsed = parsed.filter(F.col("parse_ok"))
     enriched = enrich_ops.enrich_stage(
         parsed, tool_lookup_df(spark), role_lookup_df(spark)
     )
-    return route_ops.route_stage(enriched)
+    routed = route_ops.route_stage(enriched)
+    if quarantine:
+        routed = routed.withColumn(
+            "route",
+            F.when(F.col("parse_ok"), F.col("route")).otherwise(
+                F.lit("quarantine")
+            ),
+        )
+    return routed
 
 
 def windowed_accounting(routed: DataFrame, watermark: str = "2 hours",

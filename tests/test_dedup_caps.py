@@ -124,3 +124,34 @@ def test_role_bit_nulls_match_count_distinct(spark):
         ).collect()
     }
     assert fast == exact == {"c1": 0, "c2": 1}
+
+
+def test_connected_components_hard_graph(spark):
+    """Cycles, bridges, and a clique — compared against a pure-Python
+    union-find ground truth."""
+    edges = [
+        (1, 2), (2, 3), (3, 1),          # cycle
+        (3, 50), (50, 4),                # bridge out of the cycle
+        (100, 101), (101, 102), (100, 102), (102, 103),  # clique + tail
+        (7, 8),
+    ]
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        parent[find(a)] = find(b)
+
+    for a, b in edges:
+        union(a, b)
+    truth = {n: min(m for m in parent if find(m) == find(n)) for n in parent}
+
+    pairs = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    got = {r["id"]: r["grp"] for r in dedup.connected_components(pairs).collect()}
+    assert got == truth
+    dedup.release_cached()

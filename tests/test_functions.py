@@ -118,3 +118,18 @@ def test_variant_map_verbs(spark):
     ).first()
     assert row["j"] == '{"x":1,"y":"new"}'
     assert row["k"] == '{"y":"new"}'
+
+
+def test_lift_attrs_to_variants(spark):
+    """map<string,string> attrs lift to variant maps so nested verbs and
+    renderings apply to pipeline columns unchanged."""
+    from opentelemetry_collector_spark.functions import values as V
+
+    df = spark.createDataFrame([({"a": "1", "b": "x"},)], "m map<string,string>")
+    lifted = V.lift_attrs(F.col("m"))
+    out = df.select(
+        V.vmap_as_raw_json(
+            V.vmap_put(lifted, "nested", V.vmap([("k", V.vint(F.lit(9)))]))
+        ).alias("j")
+    ).first()
+    assert out["j"] == '{"a":"1","b":"x","nested":{"k":9}}'

@@ -146,3 +146,48 @@ def test_streaming_edge_metrics_in_lineage_table(spark, sf_dir, tmp_path):
             got = spark.read.parquet(os.path.join(wh, sink)).count()
             assert got == n, (sink, got, n)
     assert sum(per_sink.values()) == derive_transcripts(spark, sf_dir).count()
+
+
+def test_streaming_quarantine_route(spark, sf_dir, tmp_path):
+    """F7 in streaming mode: unparseable records route to the
+    quarantine sink instead of being dropped — no record lost."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_spark.sources import derive_transcripts
+    from opentelemetry_collector_spark.streaming import stream as ss
+
+    src = str(tmp_path / "srcq")
+    wh = str(tmp_path / "whq")
+    base = derive_transcripts(spark, sf_dir).withColumn(
+        "text",
+        F.when(
+            F.col("turn_idx") % 13 == 0,
+            F.regexp_replace("text", r"^\[seq=[0-9]+\] ", ""),
+        ).otherwise(F.col("text")),
+    )
+    base.write.mode("overwrite").parquet(src)
+    n_total = base.count()
+
+    routed = ss.transform(
+        ss.stream_transcripts(spark, src, max_files=8), spark, quarantine=True
+    )
+    from opentelemetry_collector_spark.sqltext import SINK_NAMES
+
+    writer = ss.route_sink_writer(wh, sinks=SINK_NAMES + ["quarantine"])
+    q = (
+        routed.writeStream.foreachBatch(writer)
+        .option("checkpointLocation", str(tmp_path / "ckptq"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    quarantined = spark.read.parquet(os.path.join(wh, "quarantine")).count()
+    assert quarantined == base.filter(F.col("turn_idx") % 13 == 0).count()
+    total_out = sum(
+        spark.read.parquet(os.path.join(wh, s)).count()
+        for s in SINK_NAMES + ["quarantine"]
+    )
+    assert total_out == n_total  # nothing dropped
