@@ -171,6 +171,21 @@ def q_debug_normal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return debugfmt.normal_lines(_parsed(spark, sf_dir))
 
 
+def q_debug_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debug-exporter sampling (S5, config.go:29-34 sampling_initial /
+    sampling_thereafter): per event-time window keep the first 2
+    records then every 3rd, deterministic (conv_id, turn_idx) order —
+    the zap sampler replayed exactly, value-oracled. Hour windows here
+    (up to 30 records each at sf0.01) so the thereafter path is
+    genuinely exercised; the production default is per-second."""
+    from opentelemetry_collector_spark.operators import debugfmt
+
+    return debugfmt.sample_per_second(
+        _parsed(spark, sf_dir), sampling_initial=2, sampling_thereafter=3,
+        granularity="hour",
+    ).select("conv_id", "turn_idx", "severity_num")
+
+
 def q_render_asstring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Value.AsString renderers (P5): ES6 doubles, bools, base64 bytes."""
     from opentelemetry_collector_spark.functions import render
@@ -280,10 +295,16 @@ def q_otlp_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     (scope = tool) → LogRecords (turn order preserved via sorted
     aggregation; turn_idx rides as an intValue record attribute, the
     protobuf-JSON uint mapping), producing one wire document per
-    conversation — built with concat so both engines encode
-    byte-identical JSON — then decode with a full nested schema and
-    flatten back to one row per record."""
-    df = _parsed(spark, sf_dir)
+    (conversation, export batch of ≤512 turns) — the reference's
+    send_batch_max_size boundary (batch boundaries are semantically
+    meaningful, SURVEY §1.5), which also BOUNDS the collect_list: no
+    single aggregation row can exceed the batch size however long a
+    conversation runs. Wire built with concat so both engines encode
+    byte-identical JSON; decode with a full nested schema flattens back
+    to one row per record (the batch key cancels out)."""
+    df = _parsed(spark, sf_dir).withColumn(
+        "_batch", (F.col("turn_idx") / F.lit(512)).cast("int")
+    )
 
     def esc(c):
         c = F.replace(c, F.lit("\\"), F.lit("\\\\"))
@@ -311,13 +332,13 @@ def q_otlp_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scopes = (
         df.select(
-            "conv_id",
+            "conv_id", "_batch",
             F.coalesce(F.col("tool_parsed"), F.lit("none")).alias("scope_name"),
             F.struct(
                 F.col("turn_idx").alias("ti"), rec.alias("rec")
             ).alias("trec"),
         )
-        .groupBy("conv_id", "scope_name")
+        .groupBy("conv_id", "_batch", "scope_name")
         .agg(
             F.concat(
                 F.lit('{"scope":{"name":"'), esc(F.col("scope_name")),
@@ -334,12 +355,12 @@ def q_otlp_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     envelopes = (
         scopes.select(
-            "conv_id",
+            "conv_id", "_batch",
             F.struct(
                 F.col("scope_name").alias("sn"), F.col("scope_json").alias("sj")
             ).alias("sjs"),
         )
-        .groupBy("conv_id")
+        .groupBy("conv_id", "_batch")
         .agg(
             F.concat(
                 F.lit('{"resourceLogs":[{"resource":{"attributes":'
@@ -857,6 +878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attrs_json": q_attrs_json,
         "debug_normal": q_debug_normal,
         "debug_detailed": q_debug_detailed,
+        "debug_sampled": q_debug_sampled,
         "render_asstring": q_render_asstring,
         "parse_errors": q_parse_errors,
         "otlp_json": q_otlp_json,
@@ -1042,6 +1064,18 @@ def oracle_sql() -> dict[str, str]:
               'tool=' || tool_parsed) AS line
             FROM parsed
         """,
+        "debug_sampled": f"""
+            {p},
+            ranked AS (
+              SELECT conv_id, turn_idx, severity_num,
+                     row_number() OVER (
+                       PARTITION BY date_trunc('hour', ts)
+                       ORDER BY conv_id, turn_idx) AS rn
+              FROM parsed
+            )
+            SELECT conv_id, turn_idx, severity_num FROM ranked
+            WHERE rn <= 2 OR (rn - 2) % 3 = 0
+        """,
         "debug_detailed": f"""
             {p}
             SELECT conv_id, turn_idx,
@@ -1147,7 +1181,8 @@ def oracle_sql() -> dict[str, str]:
         "otlp_envelope": ("""
             [P],
             recjson AS (
-              SELECT conv_id, COALESCE(tool_parsed, 'none') AS scope_name,
+              SELECT conv_id, turn_idx // 512 AS b,
+                     COALESCE(tool_parsed, 'none') AS scope_name,
                      turn_idx,
                      '{"timeUnixNano":"' ||
                      CAST(CAST(floor(epoch(ts)) AS BIGINT) * 1000000000 AS VARCHAR) ||
@@ -1163,11 +1198,11 @@ def oracle_sql() -> dict[str, str]:
               FROM parsed
             ),
             scopejson AS (
-              SELECT conv_id, scope_name,
+              SELECT conv_id, b, scope_name,
                      '{"scope":{"name":"' || [ESCSCOPE] ||
                      '"},"logRecords":[' ||
                      string_agg(rec, ',' ORDER BY turn_idx) || ']}' AS scope_json
-              FROM recjson GROUP BY conv_id, scope_name
+              FROM recjson GROUP BY conv_id, b, scope_name
             ),
             env AS (
               SELECT conv_id,
@@ -1175,7 +1210,7 @@ def oracle_sql() -> dict[str, str]:
                      || [ESCCONV] || '"}}]},"scopeLogs":[' ||
                      string_agg(scope_json, ',' ORDER BY scope_name) ||
                      ']}]}' AS wire
-              FROM scopejson GROUP BY conv_id
+              FROM scopejson GROUP BY conv_id, b
             ),
             dec AS (
               SELECT conv_id, json_transform(wire, '[STRUCT]') AS d FROM env

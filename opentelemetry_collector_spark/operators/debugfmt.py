@@ -93,3 +93,47 @@ def normal_lines(parsed: DataFrame) -> DataFrame:
         _frag("tool", F.col("tool_parsed")),
     )
     return parsed.select("conv_id", "turn_idx", line.alias("line"))
+
+
+def sample_per_second(
+    df: DataFrame,
+    sampling_initial: int = 2,
+    sampling_thereafter: int = 500,
+    ts_col: str = "ts",
+    shards: int = 1,
+    granularity: str = "second",
+) -> DataFrame:
+    """The debug exporter's zap-sampler semantics in batch form
+    (exporter/debugexporter/config.go:29-34): per event-time second,
+    keep the first ``sampling_initial`` records, then every
+    ``sampling_thereafter``-th thereafter. Order within a second is the
+    deterministic (conv_id, turn_idx) — a wall-clock arrival order
+    replayed deterministically, so the sample is value-oracle-able.
+
+    Scale shape: the reference runs ONE sampler per collector instance;
+    ``shards`` > 1 reproduces exactly that — records hash into shards
+    (md5 of conv_id, engine-independent) and each shard samples
+    independently, bounding the per-second rank window to
+    second-volume/shards while keeping per-shard semantics identical
+    to a reference instance's. shards=1 is the single-collector
+    ground truth the oracle mirrors. ``granularity`` widens the
+    sampling window (second/minute/hour) — the reference is per-second;
+    coarser windows exist so sparse test corpora actually exercise the
+    thereafter path."""
+    sec = F.date_trunc(granularity, F.col(ts_col))
+    parts = [sec]
+    if shards > 1:
+        from opentelemetry_collector_spark.plans.lineage import det_partition_id
+
+        parts.append(det_partition_id(F.col("conv_id"), shards))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*parts).orderBy(
+        F.asc("conv_id"), F.asc("turn_idx")
+    )
+    ranked = df.withColumn("_rn", F.row_number().over(w))
+    keep = (F.col("_rn") <= sampling_initial) | (
+        (F.col("_rn") - F.lit(sampling_initial)) % F.lit(sampling_thereafter)
+        == 0
+    )
+    return ranked.filter(keep).drop("_rn")

@@ -521,17 +521,19 @@ def lsh_topk(
     vec_col: str = "embedding",
     score_path: str = "arrow",
     fanout: int = 64,
+    max_cell: int | None = None,
 ) -> DataFrame:
     """LSH-bucketed ANN — the other standard cell function next to the
     k-means IVF: candidates are corpus vectors in the query's sign-LSH
     bucket (cosine-direction cells, no training pass at all). Same
     bounded-rank machinery as :func:`ivf_topk`; the recall/cost knob is
-    ``n_planes`` (fewer planes = bigger buckets = higher recall)."""
+    ``n_planes`` (fewer planes = bigger buckets = higher recall), and
+    ``max_cell`` sheds degenerate buckets exactly like the IVF probe."""
     planes = lsh_planes(dim, n_planes)
     bucket = lsh_bucket_expr(_as_double(F.col(vec_col)), planes)
     return ivf_topk(
         corpus.withColumn("_lshb", bucket),
         queries.withColumn("_lshb", bucket),
         k=k, id_col=id_col, vec_col=vec_col, cell_col="_lshb",
-        score_path=score_path, fanout=fanout,
+        score_path=score_path, fanout=fanout, max_cell=max_cell,
     )
