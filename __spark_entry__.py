@@ -781,6 +781,17 @@ def _lsh_bucket_sql(vec_sql: str, planes: list[list[float]]) -> str:
     )
 
 
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization (similarity.quantize_int8)
+    — the 4× storage cut a 100 TB embedding corpus takes before
+    indexing: scale = max|x|/127, q = round(x/scale) as tinyint. Pure
+    column math; scales and quantized arrays value-oracled."""
+    from opentelemetry_collector_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.quantize_int8(emb)
+
+
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of the IVF probe against the exact brute-force top-k,
     per query — the measured value of the IVF recall/cost knob (probe=1
@@ -911,6 +922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_kmeans": q_ann_ivf_kmeans,
         "ann_ivf_probe2": q_ann_ivf_probe2,
         "ann_lsh": q_ann_lsh,
+        "embedding_quantize": q_embedding_quantize,
         "dedup_embedding_kmeans": q_dedup_embedding_kmeans,
         "token_count": q_token_count,
         "quality_score": q_quality_score,
@@ -1572,6 +1584,21 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             )
             SELECT query_id, rank, nbr_id, cos FROM ranked WHERE rank <= 5
+        """,
+        "embedding_quantize": """
+            WITH v AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                     list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                             x -> abs(x))) / 127.0 AS q_scale
+              FROM embeddings
+            )
+            SELECT vec_id, q_scale,
+                   CASE WHEN q_scale = 0
+                        THEN list_transform(v, x -> CAST(0 AS TINYINT))
+                        ELSE list_transform(v, x ->
+                               CAST(round(x / q_scale, 0) AS TINYINT)) END
+                   AS q_vec
+            FROM v
         """,
         "ann_lsh": f"""
             WITH b AS (
