@@ -792,6 +792,42 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.quantize_int8(emb)
 
 
+def q_ann_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of cosine search over the INT8-quantized corpus vs the
+    float corpus — the measured cost of the 4× storage cut. Cosine is
+    invariant to the per-vector scale, so the int8 search runs directly
+    on the quantized arrays (no dequantization); recall < 1.0 comes
+    only from rounding the components. Fully value-oracled."""
+    from opentelemetry_collector_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qz = similarity.quantize_int8(emb).persist()
+    exact = similarity.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < 10), score_path="native"
+    ).select("query_id", F.col("nbr_id").alias("e_nbr"))
+    quant = similarity.brute_force_topk(
+        qz, qz.filter(F.col("vec_id") < 10), vec_col="q_vec",
+        score_path="native",
+    ).select("query_id", F.col("nbr_id").alias("q_nbr"))
+    hits = exact.join(
+        quant,
+        (exact["query_id"] == quant["query_id"])
+        & (F.col("e_nbr") == F.col("q_nbr")),
+    ).groupBy(exact["query_id"].alias("query_id")).agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return (
+        exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("k"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id", "k",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            F.round(F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("k"), 4)
+            .alias("recall"),
+        )
+    )
+
+
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of the IVF probe against the exact brute-force top-k,
     per query — the measured value of the IVF recall/cost knob (probe=1
@@ -923,6 +959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_probe2": q_ann_ivf_probe2,
         "ann_lsh": q_ann_lsh,
         "embedding_quantize": q_embedding_quantize,
+        "ann_quantized_recall": q_ann_quantized_recall,
         "dedup_embedding_kmeans": q_dedup_embedding_kmeans,
         "token_count": q_token_count,
         "quality_score": q_quality_score,
@@ -1599,6 +1636,59 @@ def oracle_sql() -> dict[str, str]:
                                CAST(round(x / q_scale, 0) AS TINYINT)) END
                    AS q_vec
             FROM v
+        """,
+        "ann_quantized_recall": """
+            WITH base AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                     list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                             x -> abs(x))) / 127.0 AS q_scale
+              FROM embeddings
+            ),
+            qz AS (
+              SELECT vec_id,
+                     CASE WHEN q_scale = 0
+                          THEN list_transform(v, x -> CAST(0 AS DOUBLE))
+                          ELSE list_transform(v, x ->
+                                 CAST(CAST(round(x / q_scale, 0) AS TINYINT)
+                                      AS DOUBLE)) END AS qv
+              FROM base
+            ),
+            exact AS (
+              SELECT query_id, nbr_id FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+                       row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                         round(list_dot_product(q.v, c.v) /
+                               (sqrt(list_dot_product(q.v, q.v)) *
+                                sqrt(list_dot_product(c.v, c.v))), 4) DESC,
+                         c.vec_id ASC) AS rn
+                FROM base c JOIN base q
+                  ON q.vec_id < 10 AND q.vec_id != c.vec_id
+              ) WHERE rn <= 5
+            ),
+            quant AS (
+              SELECT query_id, nbr_id FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+                       row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                         round(list_dot_product(q.qv, c.qv) /
+                               (sqrt(list_dot_product(q.qv, q.qv)) *
+                                sqrt(list_dot_product(c.qv, c.qv))), 4) DESC,
+                         c.vec_id ASC) AS rn
+                FROM qz c JOIN qz q
+                  ON q.vec_id < 10 AND q.vec_id != c.vec_id
+              ) WHERE rn <= 5
+            ),
+            hits AS (
+              SELECT e.query_id, count(*) AS n_hits
+              FROM exact e JOIN quant t
+                ON e.query_id = t.query_id AND e.nbr_id = t.nbr_id
+              GROUP BY e.query_id
+            )
+            SELECT k.query_id, k.k,
+                   COALESCE(h.n_hits, 0) AS n_hits,
+                   round(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / k.k, 4)
+                     AS recall
+            FROM (SELECT query_id, count(*) AS k FROM exact GROUP BY query_id) k
+            LEFT JOIN hits h ON h.query_id = k.query_id
         """,
         "ann_lsh": f"""
             WITH b AS (
