@@ -555,8 +555,25 @@ def run(
                 elif t == "debug":
                     from opentelemetry_collector_spark.sinks.tables import debug_format
 
+                    out_df = df
+                    # debugexporter sampling knobs (config.go:29-34):
+                    # first N per event-time second, then every Mth
+                    si = int(opts.get("sampling_initial", 0))
+                    if si > 0:
+                        from opentelemetry_collector_spark.operators.debugfmt import (
+                            sample_per_second,
+                        )
+
+                        out_df = sample_per_second(
+                            out_df,
+                            sampling_initial=si,
+                            sampling_thereafter=int(
+                                opts.get("sampling_thereafter", 1)
+                            ),
+                            granularity=opts.get("sampling_granularity", "second"),
+                        )
                     counts[e] = debug_format(
-                        df, verbosity=opts.get("verbosity", "normal")
+                        out_df, verbosity=opts.get("verbosity", "normal")
                     ).count()
                 elif t == "nop":
                     counts[e] = 0

@@ -284,3 +284,32 @@ def test_config_run_with_checkpoint_resume(spark, sf_dir, tmp_path):
     assert counts1 == counts2
     # all-skip path runs no Spark jobs — well under a second
     assert resumed < 2.0, resumed
+
+
+def test_debug_exporter_sampling_from_config(spark, sf_dir, tmp_path):
+    """debugexporter sampling knobs (config.go:29-34) flow from YAML:
+    the sampled debug count is strictly below the unsampled one and
+    equals the sampler's own output."""
+    from opentelemetry_collector_spark.operators import parse as parse_ops
+    from opentelemetry_collector_spark.operators.debugfmt import sample_per_second
+    from opentelemetry_collector_spark.sources import derive_transcripts
+
+    raw = _base(
+        {"logs": {"receivers": ["transcripts"], "processors": ["parse"],
+                  "exporters": ["debug/s", "debug/all"]}}
+    )
+    raw["receivers"]["transcripts"]["sf_dir"] = str(sf_dir)
+    raw["exporters"]["debug/s"] = {
+        "verbosity": "normal", "sampling_initial": 2,
+        "sampling_thereafter": 3, "sampling_granularity": "hour",
+    }
+    raw["exporters"]["debug/all"] = {"verbosity": "normal"}
+    counts = run(build(ServiceConfig.from_dict(raw)), spark, str(tmp_path / "whs"))
+
+    parsed = parse_ops.parse_stage(derive_transcripts(spark, str(sf_dir)))
+    expected = sample_per_second(
+        parsed, sampling_initial=2, sampling_thereafter=3, granularity="hour"
+    ).count()
+    assert counts["debug/s"] == expected
+    assert counts["debug/all"] == parsed.count()
+    assert counts["debug/s"] < counts["debug/all"]
