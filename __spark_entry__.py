@@ -510,6 +510,38 @@ def q_multi_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming in the driver contract (rows-only check —
+    micro-batch execution is not SQL-expressible, so no oracle entry;
+    the batch/stream EQUALITY is pinned by tests/test_streaming.py):
+    the transcripts flow through the identical parse→enrich→route
+    stages under readStream with Trigger.AvailableNow, watermarked
+    tumbling-window accounting lands in a memory sink, and the emitted
+    windows are returned. Emission follows the streaming contract:
+    windows past the final watermark (max event time − 2h)."""
+    import tempfile
+    import uuid
+
+    from opentelemetry_collector_spark.streaming import stream as ss
+
+    base = tempfile.mkdtemp(prefix="otelcol_stream_q_")
+    src = f"{base}/src"
+    name = f"acc_{uuid.uuid4().hex[:8]}"
+    derive_transcripts(spark, sf_dir).repartition(4).write.parquet(src)
+    routed = ss.transform(ss.stream_transcripts(spark, src, max_files=2), spark)
+    q = (
+        ss.windowed_accounting(routed)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def q_union_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared-sink union (R5): two routes targeting one physical table
     union rather than double-write (graph.go:213-248 node dedup)."""
@@ -935,6 +967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineage": q_lineage,
         "top_convs_per_tool": q_top_convs_per_tool,
         "multi_route": q_multi_route,
+        "streaming_accounting": q_streaming_accounting,
         "union_sinks": q_union_sinks,
         "turn_order": q_turn_order,
         "conv_stats": q_conv_stats,
