@@ -32,6 +32,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="streaming: directory of transcript parquet files")
     ap.add_argument("--config", default=None,
                     help="YAML service config (pipelines/connectors graph)")
+    ap.add_argument("--curate", action="store_true",
+                    help="run the corpus-curation job over the documents "
+                         "table: near-dup keep-one + quality/language gate")
+    ap.add_argument("--curate-quality-min", type=float, default=0.5)
     args = ap.parse_args(argv)
 
     from opentelemetry_collector_spark.session import get_spark
@@ -49,6 +53,38 @@ def main(argv: list[str] | None = None) -> int:
                 "config": args.config,
                 "sink_counts": counts,
                 "total_rows": sum(counts.values()),
+            }))
+        elif args.curate:
+            from pyspark.sql import functions as F
+
+            from opentelemetry_collector_spark.operators import dedup, textstats
+            from opentelemetry_collector_spark.sinks.tables import TableCatalog
+
+            docs = spark.read.parquet(f"{args.sf_dir}/documents.parquet")
+            pairs = dedup.minhash_lsh_pairs(docs)
+            kept = dedup.dedup_survivors(docs, pairs)
+            scored = textstats.lang_id(
+                textstats.quality_score(textstats.token_count(kept))
+            )
+            good = scored.filter(F.col("quality") >= args.curate_quality_min)
+            catalog = TableCatalog(spark, args.warehouse)
+            from pyspark.sql import Observation
+
+            obs = Observation("curated")
+            catalog.overwrite(
+                "curated_documents",
+                good.observe(obs, F.count(F.lit(1)).alias("n")),
+            )
+            n_in = docs.count()
+            n_out = obs.get["n"]
+            dedup.release_cached()
+            print(json.dumps({
+                "mode": "curate",
+                "docs_in": n_in,
+                "docs_out": n_out,
+                "removed": n_in - n_out,
+                "quality_min": args.curate_quality_min,
+                "table": "curated_documents",
             }))
         elif args.stream:
             from opentelemetry_collector_spark.sources import derive_transcripts
