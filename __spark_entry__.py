@@ -489,6 +489,18 @@ def q_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lineage_ops.logical_lineage(routed)
 
 
+def q_rollup_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution rollup (the hypertable continuous-aggregate
+    shape): (route, day, hour) plus every coarser grain in ONE grouping-
+    sets aggregation — value-oracled against DuckDB ROLLUP."""
+    from opentelemetry_collector_spark.operators import aggregate as agg_ops
+
+    routed = route_ops.route_stage(
+        _parsed(spark, sf_dir).filter(F.col("parse_ok"))
+    )
+    return agg_ops.rollup_accounting(routed)
+
+
 def q_multi_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-route fan-out (R3, connector/logs_router.go:48-69 routing a
     record to a SUBSET of pipelines): every record goes to its tool
@@ -967,6 +979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineage": q_lineage,
         "top_convs_per_tool": q_top_convs_per_tool,
         "multi_route": q_multi_route,
+        "rollup_accounting": q_rollup_accounting,
         "streaming_accounting": q_streaming_accounting,
         "union_sinks": q_union_sinks,
         "turn_order": q_turn_order,
@@ -1387,6 +1400,19 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY count(*) DESC, conv_id ASC) AS rank
               FROM transcripts GROUP BY tool, conv_id
             ) WHERE rank <= 3
+        """,
+        "rollup_accounting": f"""
+            {p},
+            routed AS (
+              SELECT {sqltext.ROUTE_CASE_SQL} AS route,
+                     CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                     date_trunc('hour', ts) AS hour,
+                     text
+              FROM parsed WHERE parse_ok
+            )
+            SELECT route, day, hour, count(*) AS n_rows,
+                   CAST(sum(strlen(text)) AS BIGINT) AS bytes_sum
+            FROM routed GROUP BY ROLLUP (route, day, hour)
         """,
         "multi_route": f"""
             {p},

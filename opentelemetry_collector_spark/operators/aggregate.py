@@ -104,3 +104,25 @@ def cardinality_guard(df: DataFrame, keys: list[str], limit: int) -> int:
             f"cardinality limit exceeded: {n} > {limit} for keys {sorted(keys)}"
         )
     return n
+
+
+def rollup_accounting(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Hypertable-style multi-resolution rollup: per-(route, day, hour)
+    counts/bytes AND every coarser grain — (route, day), (route), and
+    the grand total — in ONE pass via ROLLUP grouping sets (Catalyst
+    expands the sets before the aggregation, so partial map-side
+    aggregation still applies; a continuous-aggregate store would
+    materialize exactly these grains). Rolled-up levels surface as NULL
+    group columns, the standard ROLLUP encoding — engine-independent,
+    value-oracled against DuckDB's ROLLUP."""
+    day = F.date_trunc("day", F.col(ts_col))
+    hour = F.date_trunc("hour", F.col(ts_col))
+    return (
+        df.withColumn("day", day)
+        .withColumn("hour", hour)
+        .rollup("route", "day", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.octet_length("text")).alias("bytes_sum"),
+        )
+    )

@@ -159,6 +159,17 @@ def test_kmeans_train_sample_plans_bounded_topk(spark, sf_dir):
     assert "Sort " not in plan  # no global SortExec
 
 
+def test_rollup_is_one_pass_with_partial_agg(spark, sf_dir):
+    """The multi-grain rollup must plan ONE Expand + two-phase hash
+    aggregate — all grains in a single pass over the data, not one job
+    per grain."""
+    import __spark_entry__ as m
+
+    plan = _plan(m.queries()["rollup_accounting"](spark, sf_dir))
+    assert "Expand" in plan
+    assert "partial_count" in plan or "partial" in plan
+
+
 def test_column_pruning_reaches_scan(spark, sf_dir):
     """Projection pruning must reach the parquet scan: a 2-column query
     over documents reads exactly (doc_id, text) — not the full schema.
