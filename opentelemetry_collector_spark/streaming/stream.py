@@ -110,9 +110,16 @@ def windowed_accounting(routed: DataFrame, watermark: str = "2 hours",
 
 def route_sink_writer(warehouse: str, sinks: list[str] | None = None,
                       edge_metrics: bool = True, run_id: str | None = None):
-    """foreachBatch fan-out: per-micro-batch routed append to per-sink
-    tables (fanoutconsumer per micro-batch; Spark's offset log + this
-    append being idempotent per epoch gives effectively-once).
+    """foreachBatch fan-out: per-micro-batch routed write to per-sink
+    tables, landing each epoch as ``sink/epoch=N/`` with OVERWRITE
+    semantics. foreachBatch may REPLAY an epoch after a failure (its
+    documented at-least-once contract); a plain append would duplicate
+    that epoch's rows, while the deterministic epoch-partitioned
+    overwrite converges — offset log + idempotent epoch commit =
+    effectively-once, the same two-phase shape as the batch
+    checkpoint acks (persistent_queue.go:321-428). Readers see a plain
+    partitioned table (the epoch partition column prunes like any
+    other).
 
     The route domain is static (``sqltext.SINK_NAMES`` — the configured
     exporter set, exactly like the reference's fanout consumer is built
@@ -158,7 +165,9 @@ def route_sink_writer(warehouse: str, sinks: list[str] | None = None,
                         ).alias("bytes"),
                     )
                 t0 = time.monotonic()
-                branch.write.mode("append").parquet(f"{warehouse}/{sink}")
+                branch.write.mode("overwrite").parquet(
+                    f"{warehouse}/{sink}/epoch={epoch_id}"
+                )
                 if edge_metrics:
                     got = obs.get
                     ckpt.commit(

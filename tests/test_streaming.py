@@ -191,3 +191,36 @@ def test_streaming_quarantine_route(spark, sf_dir, tmp_path):
         for s in SINK_NAMES + ["quarantine"]
     )
     assert total_out == n_total  # nothing dropped
+
+
+def test_epoch_replay_does_not_duplicate(spark, sf_dir, tmp_path):
+    """foreachBatch may replay an epoch after a failure (its
+    at-least-once contract): calling the writer twice with the same
+    epoch id must leave each sink with exactly one copy of that epoch's
+    rows (deterministic epoch-partitioned overwrite), and the lineage
+    acks must not double-count."""
+    import os
+
+    from opentelemetry_collector_spark.operators import parse as parse_ops
+    from opentelemetry_collector_spark.operators import route as route_ops
+    from opentelemetry_collector_spark.sources import derive_transcripts
+    from opentelemetry_collector_spark.streaming import stream as ss
+
+    wh = str(tmp_path / "whr")
+    batch = route_ops.route_stage(
+        parse_ops.parse_stage(derive_transcripts(spark, sf_dir))
+        .filter(F.col("parse_ok"))
+    ).limit(500)
+    writer = ss.route_sink_writer(wh)
+    writer(batch, 7)
+    writer(batch, 7)  # replayed epoch — must converge, not append
+    n_lineage, _ = writer.flush_lineage(spark)
+
+    total = sum(
+        spark.read.parquet(os.path.join(wh, s)).count()
+        for s in SINK_NAMES
+        if os.path.isdir(os.path.join(wh, s))
+    )
+    assert total == batch.count()
+    lin = spark.read.parquet(os.path.join(wh, "lineage"))
+    assert lin.agg(F.sum("rows")).collect()[0][0] == batch.count()
