@@ -100,6 +100,36 @@ def test_connected_components_chain_and_forest(spark):
     dedup.release_cached()
 
 
+def test_two_level_topk_equals_single_window_with_ties(spark):
+    """_topk_per_query must be bit-identical to the plain single-window
+    rank under heavy ties (the exactness argument depends on identical
+    tie-breaking at both levels). Deterministic pseudo-random scores
+    with a small value domain force collisions."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_spark.operators.similarity import _topk_per_query
+
+    scored = (
+        spark.range(3000)
+        .select(
+            (F.col("id") % 7).alias("query_id"),
+            F.col("id").alias("nbr_id"),
+            # 5-value score domain → massive ties
+            (F.pmod(F.xxhash64("id"), F.lit(5)) / 10.0).alias("cos"),
+        )
+    )
+    got = _topk_per_query(scored, k=4, fanout=8).collect()
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("nbr_id"))
+    want = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 4)
+        .select("query_id", "rank", "nbr_id", "cos")
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
 def test_release_cached_empties_registry(spark):
     docs = _degenerate_docs(spark, n=5)
     dedup.minhash_lsh_pairs(docs).count()
