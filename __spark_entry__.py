@@ -290,105 +290,19 @@ def q_otlp_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_otlp_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full 3-level OTLP/JSON envelope round-trip (S2 completion,
-    pdata/plog/json.go:17-44): group turns into ResourceLogs (resource =
-    conversation, one ``conv.id`` resource attribute) → ScopeLogs
-    (scope = tool) → LogRecords (turn order preserved via sorted
-    aggregation; turn_idx rides as an intValue record attribute, the
-    protobuf-JSON uint mapping), producing one wire document per
-    (conversation, export batch of ≤512 turns) — the reference's
-    send_batch_max_size boundary (batch boundaries are semantically
-    meaningful, SURVEY §1.5), which also BOUNDS the collect_list: no
-    single aggregation row can exceed the batch size however long a
-    conversation runs. Wire built with concat so both engines encode
-    byte-identical JSON; decode with a full nested schema flattens back
-    to one row per record (the batch key cancels out)."""
-    df = _parsed(spark, sf_dir).withColumn(
-        "_batch", (F.col("turn_idx") / F.lit(512)).cast("int")
-    )
+    pdata/plog/json.go:17-44): sources/otlp_json.encode_envelope groups
+    turns into ResourceLogs (resource = conversation) → ScopeLogs
+    (scope = tool) → LogRecords per (conversation, 512-turn export
+    batch) — byte-identical concat wire in both engines — then the
+    receiver-side schema decodes and flattens back to one row per
+    record with a roundtrip check against the carried conv_id. The
+    encoder/decoder pair is the same code the OTLP/JSON file
+    receiver (sources/otlp_json.read_otlp_json) ingests with."""
+    from opentelemetry_collector_spark.sources import otlp_json as oj
 
-    def esc(c):
-        c = F.replace(c, F.lit("\\"), F.lit("\\\\"))
-        c = F.replace(c, F.lit('"'), F.lit('\\"'))
-        c = F.replace(c, F.lit("\n"), F.lit("\\n"))
-        c = F.replace(c, F.lit("\r"), F.lit("\\r"))
-        c = F.replace(c, F.lit("\t"), F.lit("\\t"))
-        return c
-
-    sev_text = (
-        F.when(F.col("severity_num") == 17, "ERROR")
-        .when(F.col("severity_num") == 13, "WARN")
-        .when(F.col("severity_num") == 9, "INFO")
-        .otherwise("")
-    )
-    rec = F.concat(
-        F.lit('{"timeUnixNano":"'),
-        (F.unix_timestamp("ts").cast("bigint") * F.lit(1000000000)).cast("string"),
-        F.lit('","severityNumber":'), F.col("severity_num").cast("string"),
-        F.lit(',"severityText":"'), sev_text,
-        F.lit('","body":{"stringValue":"'), esc(F.col("text")),
-        F.lit('"},"eventName":"'), esc(F.col("event_kind")),
-        F.lit('","attributes":[{"key":"turn.idx","value":{"intValue":"'),
-        F.col("turn_idx").cast("string"), F.lit('"}}]}'),
-    )
-    scopes = (
-        df.select(
-            "conv_id", "_batch",
-            F.coalesce(F.col("tool_parsed"), F.lit("none")).alias("scope_name"),
-            F.struct(
-                F.col("turn_idx").alias("ti"), rec.alias("rec")
-            ).alias("trec"),
-        )
-        .groupBy("conv_id", "_batch", "scope_name")
-        .agg(
-            F.concat(
-                F.lit('{"scope":{"name":"'), esc(F.col("scope_name")),
-                F.lit('"},"logRecords":['),
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list("trec")), lambda e: e["rec"]
-                    ),
-                    ",",
-                ),
-                F.lit("]}"),
-            ).alias("scope_json")
-        )
-    )
-    envelopes = (
-        scopes.select(
-            "conv_id", "_batch",
-            F.struct(
-                F.col("scope_name").alias("sn"), F.col("scope_json").alias("sj")
-            ).alias("sjs"),
-        )
-        .groupBy("conv_id", "_batch")
-        .agg(
-            F.concat(
-                F.lit('{"resourceLogs":[{"resource":{"attributes":'
-                      '[{"key":"conv.id","value":{"stringValue":"'),
-                esc(F.col("conv_id")),
-                F.lit('"}}]},"scopeLogs":['),
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list("sjs")), lambda e: e["sj"]
-                    ),
-                    ",",
-                ),
-                F.lit("]}]}"),
-            ).alias("wire")
-        )
-    )
-    schema = (
-        "resourceLogs array<struct<"
-        "resource:struct<attributes:array<struct<"
-        "key:string,value:struct<stringValue:string>>>>,"
-        "scopeLogs:array<struct<scope:struct<name:string>,"
-        "logRecords:array<struct<timeUnixNano:string,severityNumber:int,"
-        "severityText:string,body:struct<stringValue:string>,"
-        "eventName:string,attributes:array<struct<"
-        "key:string,value:struct<intValue:string>>>>>>>>>"
-    )
-    dec = envelopes.select(
-        "conv_id", F.from_json("wire", schema).alias("d")
+    env = oj.encode_envelope(_parsed(spark, sf_dir))
+    dec = env.select(
+        "conv_id", F.from_json("wire", oj.OTLP_LOGS_SCHEMA).alias("d")
     ).select("conv_id", F.explode("d.resourceLogs").alias("rl"))
     flat = (
         dec.select(

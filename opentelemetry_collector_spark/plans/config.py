@@ -344,6 +344,12 @@ def _make_receiver(cid: str, opts: dict, spark: SparkSession) -> DataFrame:
         return derive_transcripts(spark, opts.get("sf_dir", "/root/testdata/sf0.001"))
     if t == "parquet":
         return spark.read.parquet(opts["path"])
+    if t == "otlp_json":
+        # OTLP/JSON envelope files — the reference's wire format as a
+        # file receiver (sources/otlp_json.py)
+        from opentelemetry_collector_spark.sources.otlp_json import read_otlp_json
+
+        return read_otlp_json(spark, opts["path"])
     raise ConfigError(f"receiver {cid!r}: unknown type {t!r}")
 
 

@@ -168,3 +168,29 @@ def test_kmeans_cells_deterministic_and_balanced(spark, sf_dir):
     assert a == b
     assert len(set(a.values())) == 4
     assert len(a) == emb.count()
+
+
+def test_otlp_json_file_receiver_round_trip(spark, sf_dir, tmp_path):
+    """Export → OTLP/JSON envelope files → ingest reproduces every
+    record: the encoder (exporter side) and the file receiver
+    (sources/otlp_json.read_otlp_json) are exact inverses."""
+    from opentelemetry_collector_spark.sources import derive_transcripts
+    from opentelemetry_collector_spark.sources import otlp_json as oj
+
+    parsed = parse_ops.parse_stage(derive_transcripts(spark, sf_dir))
+    out = str(tmp_path / "wire")
+    oj.encode_envelope(parsed).select("wire").write.mode("overwrite").text(out)
+
+    got = oj.read_otlp_json(spark, out)
+    assert got.count() == parsed.count()
+    # per-record field equality against the original parsed rows
+    orig = parsed.select(
+        "conv_id", "turn_idx", F.col("text").alias("body_text"),
+        F.col("event_kind").alias("event_name"),
+        F.col("severity_num").alias("severity_number"),
+    )
+    back = got.select(
+        "conv_id", "turn_idx", "body_text", "event_name", "severity_number"
+    )
+    assert back.exceptAll(orig).count() == 0
+    assert orig.exceptAll(back).count() == 0
