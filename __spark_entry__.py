@@ -250,13 +250,7 @@ def q_otlp_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("text")),
     )
 
-    def esc(c):
-        c = F.replace(c, F.lit("\\"), F.lit("\\\\"))
-        c = F.replace(c, F.lit('"'), F.lit('\\"'))
-        c = F.replace(c, F.lit("\n"), F.lit("\\n"))
-        c = F.replace(c, F.lit("\r"), F.lit("\\r"))
-        c = F.replace(c, F.lit("\t"), F.lit("\\t"))
-        return c
+    from opentelemetry_collector_spark.functions.values import json_escape as esc
 
     sev_text = (
         F.when(F.col("severity_num") == 17, "ERROR")
@@ -445,27 +439,34 @@ def q_streaming_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     tumbling-window accounting lands in a memory sink, and the emitted
     windows are returned. Emission follows the streaming contract:
     windows past the final watermark (max event time − 2h)."""
+    import shutil
     import tempfile
     import uuid
 
     from opentelemetry_collector_spark.streaming import stream as ss
 
     base = tempfile.mkdtemp(prefix="otelcol_stream_q_")
-    src = f"{base}/src"
-    name = f"acc_{uuid.uuid4().hex[:8]}"
-    derive_transcripts(spark, sf_dir).repartition(4).write.parquet(src)
-    routed = ss.transform(ss.stream_transcripts(spark, src, max_files=2), spark)
-    q = (
-        ss.windowed_accounting(routed)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", f"{base}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    try:
+        src = f"{base}/src"
+        name = f"acc_{uuid.uuid4().hex[:8]}"
+        derive_transcripts(spark, sf_dir).repartition(4).write.parquet(src)
+        routed = ss.transform(
+            ss.stream_transcripts(spark, src, max_files=2), spark
+        )
+        q = (
+            ss.windowed_accounting(routed)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(name)  # memory sink: rows live in the driver
+    finally:
+        # the source copy + stream checkpoint are per-invocation scratch
+        shutil.rmtree(base, ignore_errors=True)
 
 
 def q_union_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -662,7 +663,8 @@ def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from opentelemetry_collector_spark.operators import similarity
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     out, _ = similarity.kmeans_cells(emb, k=8, iters=1)
-    out = out.persist()
+    from opentelemetry_collector_spark.operators.dedup import _persist
+    out = _persist(out)
     return similarity.ivf_topk(
         out, out.filter(F.col("vec_id") < 10), cell_col="cell"
     )
@@ -677,7 +679,8 @@ def q_ann_ivf_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from opentelemetry_collector_spark.operators import similarity
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     out, cents = similarity.kmeans_cells(emb, k=8, iters=1)
-    out = out.persist()
+    from opentelemetry_collector_spark.operators.dedup import _persist
+    out = _persist(out)
     return similarity.ivf_topk_probed(
         out, out.filter(F.col("vec_id") < 10), cents, probes=2
     )
@@ -693,7 +696,7 @@ def q_dedup_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     out, _ = similarity.kmeans_cells(
         _emb_aug(spark, sf_dir), k=8, iters=1, id_col="id", vec_col="v"
     )
-    out = out.persist()
+    out = dedup._persist(out)
     return dedup.embedding_neardup_pairs(
         out, id_col="id", vec_col="v", cell_col="cell"
     )
@@ -759,7 +762,8 @@ def q_ann_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from opentelemetry_collector_spark.operators import similarity
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    qz = similarity.quantize_int8(emb).persist()
+    from opentelemetry_collector_spark.operators.dedup import _persist
+    qz = _persist(similarity.quantize_int8(emb))
     exact = similarity.brute_force_topk(
         emb, emb.filter(F.col("vec_id") < 10), score_path="native"
     ).select("query_id", F.col("nbr_id").alias("e_nbr"))

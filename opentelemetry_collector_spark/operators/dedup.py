@@ -616,7 +616,30 @@ def connected_components(
         )
     )
     labels = _persist(labels)
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    # fixpoint detection: numeric ids use the monotone label-sum trick
+    # (labels only decrease, so equal sum ⟺ no change — one scalar per
+    # round); non-numeric ids (F.sum would be NULL, making every round
+    # "converged") count changed labels with a self-join instead.
+    from pyspark.sql.types import NumericType
+
+    numeric_ids = isinstance(labels.schema["label"].dataType, NumericType)
+
+    def _converged(new_labels: DataFrame, old_labels: DataFrame,
+                   prev: object) -> tuple[bool, object]:
+        if numeric_ids:
+            s = new_labels.agg(F.sum("label")).collect()[0][0]
+            return s == prev, s
+        changed = (
+            new_labels.alias("n")
+            .join(old_labels.alias("o"), F.col("n.id") == F.col("o.id"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        return changed == 0, None
+
+    prev_sum = (
+        labels.agg(F.sum("label")).collect()[0][0] if numeric_ids else None
+    )
     for _ in range(max_iters):
         nbr_min = (
             edges.join(labels, edges["src"] == labels["id"])
@@ -633,12 +656,11 @@ def connected_components(
             )
         )
         new_labels = _persist(new_labels)
-        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        done, prev_sum = _converged(new_labels, labels, prev_sum)
         labels.unpersist()  # superseded round's cache released eagerly
         labels = new_labels
-        if new_sum == prev_sum:  # labels only decrease: equal sum = fixpoint
+        if done:
             break
-        prev_sum = new_sum
     else:
         logger.warning(
             "connected_components: no fixpoint after %d rounds "

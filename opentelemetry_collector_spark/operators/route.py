@@ -70,11 +70,33 @@ def fan_out(
     not a write pass plus a count pass. ``sink_fn`` should run exactly
     one Spark action on the DataFrame it is given (a write, a count, a
     collect — anything that materializes it). A sink that runs NO action
-    (a nop/dry-run sink, an early-return error path) is detected with
-    the non-blocking ``getRowOrEmpty`` and falls back to one explicit
-    ``count()`` instead of blocking forever on ``Observation.get``.
+    (a nop/dry-run sink, an early-return error path) is detected with a
+    bounded observation probe and falls back to one explicit ``count()``
+    instead of blocking forever on ``Observation.get``.
+
+    Probe details: the JVM ``Observation.getRowOrEmpty`` waits up to
+    100 ms per call (it is a bounded wait, not a pure peek), and the
+    listener that fills it is asynchronous — so the probe retries a few
+    times before concluding no action ran. Misclassification under an
+    extremely lagged listener costs one extra count() of the (cached)
+    branch, never a wrong count — the observed metric and count() agree
+    by construction. The probe pierces a private JVM member via py4j;
+    any reflection failure (e.g. a Spark upgrade renaming it) degrades
+    to the count() path rather than breaking.
     """
+    import time
+
     from pyspark.sql import Observation
+
+    def _action_ran(obs: Observation, probes: int = 5) -> bool:
+        try:
+            for _ in range(probes):  # each JVM probe waits ≤100 ms
+                if obs._jo is not None and obs._jo.getRowOrEmpty().isDefined():
+                    return True
+                time.sleep(0.02)
+            return False
+        except Exception:
+            return False  # private-API drift → safe count() fallback
 
     sinks = sinks or SINK_NAMES
     if cache:
@@ -87,7 +109,7 @@ def fan_out(
                 obs, F.count(F.lit(1)).alias("n")
             )
             sink_fn(s, branch)
-            if obs._jo is not None and obs._jo.getRowOrEmpty().isDefined():
+            if _action_ran(obs):
                 counts[s] = obs.get["n"]
             else:
                 # sink_fn ran no action — the observation never fired;

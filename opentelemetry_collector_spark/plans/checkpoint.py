@@ -102,9 +102,31 @@ class CheckpointStore:
         return out
 
     # -- queryable lineage tables --------------------------------------
+    def _merge_other_runs(self, catalog, table: str, new_rows: list[tuple],
+                          n_cols: int) -> list[tuple]:
+        """Rows from OTHER run_ids already in the table + this run's
+        rows — so batch and streaming runs against one warehouse share
+        the lineage tables without clobbering each other (each flush
+        replaces only its own run's rows; re-flushing is idempotent).
+        Driver-side pyarrow read: the tables are O(stages) tiny."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        path = catalog.path(table)
+        if not os.path.isdir(path):
+            return new_rows
+        existing = pq.read_table(path)
+        cols = [existing.column(i).to_pylist() for i in range(n_cols)]
+        kept = [r for r in zip(*cols) if r[0] != self.run_id]
+        return kept + new_rows
+
     def write_lineage_table(self, spark, catalog) -> tuple[int, int]:
         """Flatten every acked stage's per-partition / per-file lineage
-        into the ``lineage`` and ``file_stats`` warehouse tables.
+        into the ``lineage`` and ``file_stats`` warehouse tables,
+        MERGED with other runs' rows (run_id-keyed replace — a batch
+        run and a streaming run on the same warehouse each own their
+        rows in the shared tables).
 
         The rows are driver-side metadata (O(stages × partitions) —
         hundreds, not data-scale), so they are written directly with
@@ -113,7 +135,8 @@ class CheckpointStore:
         data), and it avoids ~5-8s of Spark fixed cost per tiny write
         (a createDataFrame→parquet round-trip spins Python workers for
         a 165-row table). spark.read.parquet reads them like any other
-        warehouse table. Returns (lineage_rows, file_rows)."""
+        warehouse table. Returns (lineage_rows, file_rows) for THIS
+        run."""
         lineage_rows, file_rows = [], []
         for m in self.metrics():
             for p in m.get("partitions", []):
@@ -131,13 +154,15 @@ class CheckpointStore:
                 )
         if lineage_rows:
             catalog.overwrite_local(
-                "lineage", lineage_rows,
+                "lineage",
+                self._merge_other_runs(catalog, "lineage", lineage_rows, 6),
                 [("run_id", "string"), ("stage", "string"), ("part_id", "int32"),
                  ("rows", "int64"), ("bytes", "int64"), ("wall_ms", "int64")],
             )
         if file_rows:
             catalog.overwrite_local(
-                "file_stats", file_rows,
+                "file_stats",
+                self._merge_other_runs(catalog, "file_stats", file_rows, 5),
                 [("run_id", "string"), ("stage", "string"), ("file", "string"),
                  ("rows", "int64"), ("bytes", "int64")],
             )

@@ -164,14 +164,28 @@ def run_pipeline(
         table root: a previous run with different sink_chunks — or a
         non-chunked run that wrote flat files there — would otherwise
         leave stale part dirs that read back as duplicate rows. Resumed
-        runs (≥1 chunk acked) must NOT clear: the acked chunks' data IS
-        the resume state. The final lineage scan covers only the part
-        dirs this run owns."""
+        runs (≥1 chunk acked) must NOT clear — the acked chunks' data IS
+        the resume state — so each chunk ack records its sink_chunks and
+        a resume under a DIFFERENT value is refused outright (the acked
+        chunk's rows were hashed with the old modulus; mixing moduli
+        silently duplicates and drops rows). The final lineage scan
+        covers only the part dirs this run owns."""
         import shutil
 
-        if not any(
-            ckpt.is_done(f"{stage}.chunk{c:03d}") for c in range(sink_chunks)
-        ):
+        acked_chunks = [
+            m for m in ckpt.metrics()
+            if m["stage"].startswith(f"{stage}.chunk") and "sink_chunks" in m
+        ]
+        if acked_chunks:
+            prior = acked_chunks[0]["sink_chunks"]
+            if prior != sink_chunks:
+                raise ValueError(
+                    f"{stage}: resume with sink_chunks={sink_chunks} but "
+                    f"run {ckpt.run_id!r} acked chunks under "
+                    f"sink_chunks={prior}; resume with the same value or "
+                    "use a fresh run_id"
+                )
+        else:
             shutil.rmtree(catalog.path(table), ignore_errors=True)
         total = 0
         for c in range(sink_chunks):
@@ -191,8 +205,9 @@ def run_pipeline(
             ckpt.commit(sub, StageMetric(
                 run_id=ckpt.run_id, stage=sub, rows_in=n, rows_out=n,
                 wall_ms=int((time.monotonic() - t0) * 1000),
-                extra={"chunk": c, "files": lineage_ops.file_lineage(
-                    catalog.path(f"{table}/part={c}"))},
+                extra={"chunk": c, "sink_chunks": sink_chunks,
+                       "files": lineage_ops.file_lineage(
+                           catalog.path(f"{table}/part={c}"))},
             ))
             if fail_after_stage == sub:
                 raise RuntimeError(f"injected failure after chunk {sub}")

@@ -73,13 +73,13 @@ def read_otlp_json(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def _json_esc(c):
-    c = F.replace(c, F.lit("\\"), F.lit("\\\\"))
-    c = F.replace(c, F.lit('"'), F.lit('\\"'))
-    c = F.replace(c, F.lit("\n"), F.lit("\\n"))
-    c = F.replace(c, F.lit("\r"), F.lit("\\r"))
-    c = F.replace(c, F.lit("\t"), F.lit("\\t"))
-    return c
+# the byte-parity-critical escape chain lives in ONE place
+# (functions/values.json_escape) — the wire encoder, the nested-value
+# renderer and the oracle twin (sqltext.json_esc_sql) must stay in
+# lockstep or the byte-oracled round trips break
+from opentelemetry_collector_spark.functions.values import (  # noqa: E402
+    json_escape as _json_esc,
+)
 
 
 def encode_envelope(df: DataFrame, batch_size: int = 512) -> DataFrame:

@@ -185,3 +185,22 @@ def test_connected_components_hard_graph(spark):
     got = {r["id"]: r["grp"] for r in dedup.connected_components(pairs).collect()}
     assert got == truth
     dedup.release_cached()
+
+
+def test_connected_components_string_ids(spark):
+    """Non-numeric ids: the fixpoint detector must not rely on
+    F.sum(label) (NULL for strings — it would 'converge' after one
+    round); a multi-hop chain of string ids must still reach the
+    lexicographic component minimum."""
+    pairs = spark.createDataFrame(
+        [("doc_b", "doc_c"), ("doc_c", "doc_d"), ("doc_d", "doc_e"),
+         ("doc_e", "doc_f"), ("zzz_1", "zzz_2")],
+        "id_a string, id_b string",
+    )
+    got = {r["id"]: r["grp"] for r in dedup.connected_components(pairs).collect()}
+    assert got == {
+        "doc_b": "doc_b", "doc_c": "doc_b", "doc_d": "doc_b",
+        "doc_e": "doc_b", "doc_f": "doc_b",
+        "zzz_1": "zzz_1", "zzz_2": "zzz_1",
+    }
+    dedup.release_cached()

@@ -133,3 +133,56 @@ def test_send_batch_max_size_bounds_files(spark, sf_dir, tmp_path):
         stats = lineage_ops.file_lineage(catalog.path(s))
         assert stats, s
         assert max(fr["rows"] for fr in stats) <= 100, s
+
+
+def test_chunked_resume_with_different_sink_chunks_refused(spark, sf_dir, tmp_path):
+    """Resuming a run whose chunks were acked under a different
+    sink_chunks must be refused: the acked data was hashed with the old
+    modulus, so mixing moduli silently duplicates and drops rows."""
+    wh = str(tmp_path / "wh6")
+    with pytest.raises(RuntimeError, match="chunk"):
+        run_pipeline(
+            spark, sf_dir, wh, run_id="runE", sink_chunks=4,
+            fail_after_stage="write_sink_search.chunk001",
+        )
+    with pytest.raises(ValueError, match="sink_chunks=4"):
+        run_pipeline(spark, sf_dir, wh, run_id="runE", sink_chunks=2)
+    # same value resumes fine
+    res = run_pipeline(spark, sf_dir, wh, run_id="runE", sink_chunks=4)
+    assert "write_sink_search.chunk001" in res.stages_skipped
+
+
+def test_batch_and_stream_lineage_share_one_table(spark, sf_dir, tmp_path):
+    """A streaming run flushing lineage into a warehouse where a batch
+    run already committed must MERGE (run_id-keyed replace), not clobber
+    — one A6 store for both modes, each run owning its rows."""
+    import os
+
+    from opentelemetry_collector_spark.streaming import stream as ss
+
+    wh = str(tmp_path / "wh7")
+    res = run_pipeline(spark, sf_dir, wh, run_id="batchrun")
+    src = str(tmp_path / "src7")
+    derive_transcripts(spark, sf_dir).write.mode("overwrite").parquet(src)
+    routed = ss.transform(ss.stream_transcripts(spark, src, max_files=8), spark)
+    writer = ss.route_sink_writer(wh, run_id="streamrun")
+    q = (
+        routed.writeStream.foreachBatch(writer)
+        .option("checkpointLocation", str(tmp_path / "ckpt7"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    writer.flush_lineage(spark)
+
+    lin = spark.read.parquet(os.path.join(wh, "lineage"))
+    runs = {r["run_id"] for r in lin.select("run_id").distinct().collect()}
+    assert {"batchrun", "streamrun"} <= runs  # both survive
+    batch_rows = lin.filter(
+        (F.col("run_id") == "batchrun") & F.col("stage").startswith("write_")
+    ).agg(F.sum("rows")).collect()[0][0]
+    assert batch_rows == sum(res.sink_counts.values())
+    # re-flushing the stream run is idempotent (replaces its own rows)
+    writer.flush_lineage(spark)
+    lin2 = spark.read.parquet(os.path.join(wh, "lineage"))
+    assert lin2.count() == lin.count()
