@@ -246,7 +246,10 @@ def q_otlp_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         F.when(
             F.col("turn_idx") % 7 == 0,
-            F.concat(F.col("text"), F.lit(' say "hi" via C:\\tmp\nline2\tend')),
+            F.concat(
+                F.col("text"),
+                F.lit(' say "hi" via C:\\tmp\nline2\tend\x1b[31m'),
+            ),
         ).otherwise(F.col("text")),
     )
 
@@ -295,32 +298,18 @@ def q_otlp_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     from opentelemetry_collector_spark.sources import otlp_json as oj
 
     env = oj.encode_envelope(_parsed(spark, sf_dir))
-    dec = env.select(
-        "conv_id", F.from_json("wire", oj.OTLP_LOGS_SCHEMA).alias("d")
-    ).select("conv_id", F.explode("d.resourceLogs").alias("rl"))
-    flat = (
-        dec.select(
-            "conv_id",
-            F.col("rl.resource.attributes")[0]["value"]["stringValue"]
-            .alias("res_conv"),
-            F.explode("rl.scopeLogs").alias("sl"),
-        )
-        .select(
-            "conv_id", "res_conv",
-            F.col("sl.scope.name").alias("scope_name"),
-            F.explode("sl.logRecords").alias("lr"),
-        )
+    flat = oj.flatten_envelope(
+        env, res_id_alias="res_conv", carry=["conv_id"]
     )
     return flat.select(
         "conv_id",
         "scope_name",
-        F.col("lr.attributes")[0]["value"]["intValue"].cast("int")
-        .alias("turn_idx"),
-        F.col("lr.timeUnixNano").cast("bigint").alias("ts_unix_nano"),
-        F.col("lr.severityNumber").alias("severity_number"),
-        F.col("lr.severityText").alias("severity_text"),
-        F.col("lr.body.stringValue").alias("body_text"),
-        F.col("lr.eventName").alias("event_name"),
+        "turn_idx",
+        "ts_unix_nano",
+        "severity_number",
+        "severity_text",
+        "body_text",
+        "event_name",
         (F.col("res_conv") == F.col("conv_id")).alias("roundtrip_ok"),
     )
 
@@ -441,14 +430,17 @@ def q_streaming_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows past the final watermark (max event time − 2h)."""
     import shutil
     import tempfile
-    import uuid
 
     from opentelemetry_collector_spark.streaming import stream as ss
 
     base = tempfile.mkdtemp(prefix="otelcol_stream_q_")
     try:
         src = f"{base}/src"
-        name = f"acc_{uuid.uuid4().hex[:8]}"
+        # fixed memory-sink name, previous result dropped: repeated
+        # invocations (bench runs each query twice) hold at most ONE
+        # result set in driver memory instead of accumulating
+        name = "q_stream_accounting"
+        spark.catalog.dropTempView(name)
         derive_transcripts(spark, sf_dir).repartition(4).write.parquet(src)
         routed = ss.transform(
             ss.stream_transcripts(spark, src, max_files=2), spark

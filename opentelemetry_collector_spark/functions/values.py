@@ -85,15 +85,32 @@ def vempty() -> Column:
     return _variant("empty")
 
 
+# JSON escape table: the two structural characters, the short-form
+# control escapes, then \u00XX for every remaining control char < 0x20
+# (ALL 32 are JSON-mandatory — a bare ESC from ANSI-colored log text
+# would otherwise make the whole document unparseable and a decoder
+# silently drop it). Backslash MUST be first. The DuckDB twin
+# (sqltext.json_esc_sql) is generated from the same table.
+JSON_ESCAPES: list[tuple[str, str]] = (
+    [("\\", "\\\\"), ('"', '\\"'),
+     ("\n", "\\n"), ("\r", "\\r"), ("\t", "\\t"),
+     ("\b", "\\b"), ("\f", "\\f")]
+    + [
+        (chr(code), f"\\u{code:04x}")
+        for code in range(0x20)
+        if chr(code) not in "\n\r\t\b\f"
+    ]
+)
+
+
 def json_escape(c: Column) -> Column:
-    """JSON string escaping for text embedded in the canonical JSON:
-    backslash first, then quote and the mandatory control chars — the
-    same chain (and order) as the otlp_json wire encoder."""
-    c = F.replace(c, F.lit("\\"), F.lit("\\\\"))
-    c = F.replace(c, F.lit('"'), F.lit('\\"'))
-    c = F.replace(c, F.lit("\n"), F.lit("\\n"))
-    c = F.replace(c, F.lit("\r"), F.lit("\\r"))
-    c = F.replace(c, F.lit("\t"), F.lit("\\t"))
+    """JSON string escaping for text embedded in the canonical JSON —
+    backslash first, then quote and EVERY control character < 0x20
+    (short escapes where JSON defines them, \\u00XX otherwise). The
+    same table (and order) drives the otlp_json wire encoder and the
+    DuckDB oracle twin."""
+    for raw, esc in JSON_ESCAPES:
+        c = F.replace(c, F.lit(raw), F.lit(esc))
     return c
 
 

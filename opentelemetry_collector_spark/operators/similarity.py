@@ -515,7 +515,7 @@ def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
     n_planes: int = 8,
-    dim: int = 64,
+    dim: int | None = None,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -528,7 +528,20 @@ def lsh_topk(
     bucket (cosine-direction cells, no training pass at all). Same
     bounded-rank machinery as :func:`ivf_topk`; the recall/cost knob is
     ``n_planes`` (fewer planes = bigger buckets = higher recall), and
-    ``max_cell`` sheds degenerate buckets exactly like the IVF probe."""
+    ``max_cell`` sheds degenerate buckets exactly like the IVF probe.
+    ``dim`` defaults to the corpus's actual vector length (one tiny
+    driver probe); passing a WRONG dim would NULL every dot product via
+    zip_with padding and silently return nothing, so an explicit dim
+    that disagrees with the data raises instead."""
+    probe = corpus.select(F.col(vec_col)).first()
+    actual_dim = len(probe[0]) if probe and probe[0] is not None else 0
+    if dim is None:
+        dim = actual_dim
+    elif actual_dim and dim != actual_dim:
+        raise ValueError(
+            f"lsh_topk: dim={dim} but corpus vectors have length "
+            f"{actual_dim}; a mismatch NULLs every bucket id"
+        )
     planes = lsh_planes(dim, n_planes)
     bucket = lsh_bucket_expr(_as_double(F.col(vec_col)), planes)
     return ivf_topk(

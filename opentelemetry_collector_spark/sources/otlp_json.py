@@ -32,27 +32,41 @@ OTLP_LOGS_SCHEMA = (
 )
 
 
-def flatten_envelope(df: DataFrame, wire_col: str = "wire") -> DataFrame:
+def flatten_envelope(
+    df: DataFrame,
+    wire_col: str = "wire",
+    res_id_alias: str = "conv_id",
+    carry: list[str] | None = None,
+) -> DataFrame:
     """Decode + flatten envelope JSON documents to one row per
-    LogRecord: resource attributes surface as ``res_<key>`` columns
-    (here: the conv.id resource attribute), scope name and record
-    fields as flat columns."""
-    dec = df.select(F.from_json(F.col(wire_col), OTLP_LOGS_SCHEMA).alias("d"))
+    LogRecord: the conv.id resource attribute surfaces as
+    ``res_id_alias``, scope name and record fields as flat columns.
+    ``carry`` names input columns to pass through unchanged (the
+    oracle query carries the pre-encode conv_id for its round-trip
+    check) — this is the ONE decode both the file receiver and the
+    byte-oracled round-trip query use."""
+    carry = carry or []
+    dec = df.select(
+        *carry, F.from_json(F.col(wire_col), OTLP_LOGS_SCHEMA).alias("d")
+    )
     flat = (
-        dec.select(F.explode("d.resourceLogs").alias("rl"))
+        dec.select(*carry, F.explode("d.resourceLogs").alias("rl"))
         .select(
+            *carry,
             F.col("rl.resource.attributes")[0]["value"]["stringValue"]
-            .alias("conv_id"),
+            .alias(res_id_alias),
             F.explode("rl.scopeLogs").alias("sl"),
         )
         .select(
-            "conv_id",
+            *carry,
+            res_id_alias,
             F.col("sl.scope.name").alias("scope_name"),
             F.explode("sl.logRecords").alias("lr"),
         )
     )
     return flat.select(
-        "conv_id",
+        *carry,
+        res_id_alias,
         "scope_name",
         F.col("lr.attributes")[0]["value"]["intValue"].cast("int")
         .alias("turn_idx"),

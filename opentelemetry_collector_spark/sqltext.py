@@ -184,24 +184,34 @@ SINK_NAMES = ["sink_search", "sink_browser", "sink_python", "sink_editor", "sink
 
 
 def json_esc_sql(x: str) -> str:
-    """DuckDB twin of the Spark-side JSON string escape (backslash first,
-    then quote, newline, CR, tab — same order). Built from chr() so the
-    Python source carries NO backslashes at all: an earlier version
-    wrote the backslashes as Python escapes inside an f-string, which
-    collapsed ('\\\\' -> '\\') and silently emitted no-op replaces."""
-    e = f"replace({x}, chr(92), chr(92)||chr(92))"
-    e = f"replace({e}, chr(34), chr(92)||chr(34))"
-    e = f"replace({e}, chr(10), chr(92)||'n')"
-    e = f"replace({e}, chr(13), chr(92)||'r')"
-    e = f"replace({e}, chr(9), chr(92)||'t')"
+    """DuckDB twin of the Spark-side JSON string escape — generated
+    from the SAME table (functions/values.JSON_ESCAPES) so the two
+    engines cannot drift: backslash first, then quote, then every
+    control char < 0x20. Built from chr() so the Python source carries
+    NO backslashes at all: an earlier version wrote the backslashes as
+    Python escapes inside an f-string, which collapsed ('\\\\' -> '\\')
+    and silently emitted no-op replaces."""
+    from opentelemetry_collector_spark.functions.values import JSON_ESCAPES
+
+    e = x
+    for raw, esc in JSON_ESCAPES:
+        # render both sides via chr() codes; the escape text itself is
+        # chr(92) + its printable remainder (e.g. '\\n' -> chr(92)||'n')
+        raw_sql = "||".join(f"chr({ord(ch)})" for ch in raw)
+        esc_sql = "||".join(
+            f"chr({ord(ch)})" if ord(ch) < 0x20 or ch in '\\"' else f"'{ch}'"
+            for ch in esc
+        )
+        e = f"replace({e}, {raw_sql}, {esc_sql})"
     return e
 
 
 # Deterministic special-char suffix appended to every 7th turn's text in
-# the otlp_json round-trip (both engines): quote, backslash, newline, tab.
+# the otlp_json round-trip (both engines): quote, backslash, newline,
+# tab, and a bare ESC (the ANSI-color byte that needs  encoding).
 JSON_SPICE_SQL = (
     "' say ' || chr(34) || 'hi' || chr(34) || ' via C:' || chr(92) || 'tmp'"
-    " || chr(10) || 'line2' || chr(9) || 'end'"
+    " || chr(10) || 'line2' || chr(9) || 'end' || chr(27) || '[31m'"
 )
 
 

@@ -109,7 +109,8 @@ def windowed_accounting(routed: DataFrame, watermark: str = "2 hours",
 
 
 def route_sink_writer(warehouse: str, sinks: list[str] | None = None,
-                      edge_metrics: bool = True, run_id: str | None = None):
+                      edge_metrics: bool = True, run_id: str | None = None,
+                      data_dir: str | None = None):
     """foreachBatch fan-out: per-micro-batch routed write to per-sink
     tables, landing each epoch as ``sink/epoch=N/`` with OVERWRITE
     semantics. foreachBatch may REPLAY an epoch after a failure (its
@@ -136,7 +137,16 @@ def route_sink_writer(warehouse: str, sinks: list[str] | None = None,
     no extra Spark action. ``flush_lineage(spark)`` (an attribute on
     the returned function) flattens the acks into the shared queryable
     ``lineage`` warehouse table (part_id = epoch), so streaming and
-    batch A6 telemetry share one store and one query surface."""
+    batch A6 telemetry share one store and one query surface.
+
+    ``data_dir`` (default: the warehouse) is where the sink tables
+    land. A streaming sink MUST NOT share a table directory with flat
+    batch-written parquet: Spark's partition discovery would then see
+    only the ``epoch=N`` dirs and silently hide every batch row, so the
+    writer REFUSES a sink root that already holds flat files — point
+    ``data_dir`` somewhere else (the lineage store still shares the
+    warehouse) or clear the table."""
+    import os
     import time
 
     from pyspark.sql import Observation
@@ -149,11 +159,29 @@ def route_sink_writer(warehouse: str, sinks: list[str] | None = None,
 
     sink_list = sinks or SINK_NAMES
     ckpt = CheckpointStore(warehouse, run_id) if edge_metrics else None
+    tables = data_dir or warehouse
+    checked: set = set()
+
+    def _guard_layout(sink: str) -> None:
+        if sink in checked:
+            return
+        root = os.path.join(tables, sink)
+        if os.path.isdir(root) and any(
+            f.endswith(".parquet") for f in os.listdir(root)
+        ):
+            raise ValueError(
+                f"streaming sink {root!r} already contains flat "
+                "(non-epoch) parquet files; epoch-partitioned writes "
+                "into it would silently hide those rows on read — use a "
+                "separate data_dir or clear the table first"
+            )
+        checked.add(sink)
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         batch_df.persist()
         try:
             for sink in sink_list:
+                _guard_layout(sink)
                 branch = batch_df.filter(F.col("route") == sink)
                 if edge_metrics:
                     obs = Observation(f"edge_{epoch_id}_{sink}")
@@ -166,7 +194,7 @@ def route_sink_writer(warehouse: str, sinks: list[str] | None = None,
                     )
                 t0 = time.monotonic()
                 branch.write.mode("overwrite").parquet(
-                    f"{warehouse}/{sink}/epoch={epoch_id}"
+                    f"{tables}/{sink}/epoch={epoch_id}"
                 )
                 if edge_metrics:
                     got = obs.get
@@ -275,7 +303,17 @@ def run_available_now(
     routed sink writes + (optionally) windowed accounting to memory.
     Returns the accounting query name for inspection."""
     routed = transform(stream_transcripts(spark, src_path), spark)
-    writer = route_sink_writer(warehouse)
+    # STABLE run_id derived from the checkpoint location: a restarted
+    # stream (foreachBatch's at-least-once replay) re-acks its epochs
+    # under the SAME run_id, so the run_id-keyed lineage merge replaces
+    # rather than double-counts (a fresh random id per restart would
+    # leave the dead run's rows in the shared lineage table).
+    import hashlib
+
+    writer = route_sink_writer(
+        warehouse,
+        run_id="stream" + hashlib.md5(checkpoint.encode()).hexdigest()[:10],
+    )
     q1 = (
         routed.writeStream.foreachBatch(writer)
         .option("checkpointLocation", f"{checkpoint}/route")

@@ -165,7 +165,12 @@ def test_batch_and_stream_lineage_share_one_table(spark, sf_dir, tmp_path):
     src = str(tmp_path / "src7")
     derive_transcripts(spark, sf_dir).write.mode("overwrite").parquet(src)
     routed = ss.transform(ss.stream_transcripts(spark, src, max_files=8), spark)
-    writer = ss.route_sink_writer(wh, run_id="streamrun")
+    # shared warehouse = shared lineage store; sink DATA goes to its own
+    # dir (epoch-partitioned streaming tables must not nest inside the
+    # batch-written flat tables — the writer refuses that)
+    writer = ss.route_sink_writer(
+        wh, run_id="streamrun", data_dir=str(tmp_path / "stream_sinks")
+    )
     q = (
         routed.writeStream.foreachBatch(writer)
         .option("checkpointLocation", str(tmp_path / "ckpt7"))

@@ -177,7 +177,14 @@ def test_otlp_json_file_receiver_round_trip(spark, sf_dir, tmp_path):
     from opentelemetry_collector_spark.sources import derive_transcripts
     from opentelemetry_collector_spark.sources import otlp_json as oj
 
-    parsed = parse_ops.parse_stage(derive_transcripts(spark, sf_dir))
+    parsed = parse_ops.parse_stage(derive_transcripts(spark, sf_dir)).withColumn(
+        # exercise the full control-char escape table: ESC, bell, quote
+        "text",
+        F.when(
+            F.col("turn_idx") % 5 == 0,
+            F.concat(F.col("text"), F.lit(' c="\x1b[31m\x07"')),
+        ).otherwise(F.col("text")),
+    )
     out = str(tmp_path / "wire")
     oj.encode_envelope(parsed).select("wire").write.mode("overwrite").text(out)
 

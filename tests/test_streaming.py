@@ -224,3 +224,27 @@ def test_epoch_replay_does_not_duplicate(spark, sf_dir, tmp_path):
     assert total == batch.count()
     lin = spark.read.parquet(os.path.join(wh, "lineage"))
     assert lin.agg(F.sum("rows")).collect()[0][0] == batch.count()
+
+
+def test_streaming_refuses_flat_batch_sink_dirs(spark, sf_dir, tmp_path):
+    """Epoch-partitioned streaming writes into a table that already
+    holds flat batch parquet would silently HIDE the batch rows on read
+    (partition discovery sees only epoch dirs) — the writer must refuse
+    instead."""
+    import pytest
+
+    from opentelemetry_collector_spark.operators import parse as parse_ops
+    from opentelemetry_collector_spark.operators import route as route_ops
+    from opentelemetry_collector_spark.plans.pipeline import run_pipeline
+    from opentelemetry_collector_spark.sources import derive_transcripts
+    from opentelemetry_collector_spark.streaming import stream as ss
+
+    wh = str(tmp_path / "whmix")
+    run_pipeline(spark, sf_dir, wh)  # flat batch sink tables
+    batch = route_ops.route_stage(
+        parse_ops.parse_stage(derive_transcripts(spark, sf_dir))
+        .filter(F.col("parse_ok"))
+    ).limit(50)
+    writer = ss.route_sink_writer(wh)
+    with pytest.raises(ValueError, match="flat"):
+        writer(batch, 0)
