@@ -36,18 +36,22 @@ VARIANT_SCHEMA = (
     "struct<t:string,s:string,i:bigint,d:double,b:boolean,bin:binary,j:string>"
 )
 
-_NULL = {
-    "s": F.lit(None).cast("string"),
-    "i": F.lit(None).cast("bigint"),
-    "d": F.lit(None).cast("double"),
-    "b": F.lit(None).cast("boolean"),
-    "bin": F.lit(None).cast("binary"),
-    "j": F.lit(None).cast("string"),
-}
+def _null_fields() -> dict[str, Column]:
+    """Typed NULL branch columns, built lazily — module import must not
+    require an active SparkContext (the oracle-SQL generator imports
+    this module for JSON_ESCAPES before any session exists)."""
+    return {
+        "s": F.lit(None).cast("string"),
+        "i": F.lit(None).cast("bigint"),
+        "d": F.lit(None).cast("double"),
+        "b": F.lit(None).cast("boolean"),
+        "bin": F.lit(None).cast("binary"),
+        "j": F.lit(None).cast("string"),
+    }
 
 
 def _variant(t: str, **set_fields: Column) -> Column:
-    fields = {**_NULL, **set_fields}
+    fields = {**_null_fields(), **set_fields}
     return F.named_struct(
         F.lit("t"), F.lit(t),
         F.lit("s"), fields["s"],
