@@ -240,8 +240,9 @@ def q_otlp_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     (newline, CR, tab), literal replaces in the same order in both
     engines. To prove the escaping is actually exercised (the corpus
     text contains none of these), every 7th turn's text gets a
-    deterministic suffix bearing a quote, a backslash, a newline and a
-    tab — mirrored in the oracle — before encoding."""
+    deterministic suffix bearing a quote, a backslash, a newline, a
+    tab AND a bare ESC byte (the \\u00XX control-char path) — mirrored
+    in the oracle — before encoding."""
     df = _parsed(spark, sf_dir).withColumn(
         "text",
         F.when(
@@ -455,7 +456,12 @@ def q_streaming_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-        return spark.table(name)  # memory sink: rows live in the driver
+        # materialize a SELF-CONTAINED result: the fixed-name view is
+        # dropped/recreated per invocation, so returning the lazy view
+        # handle would alias a later run's rows if the caller collects
+        # late; the copy also lets the view be rebuilt freely
+        view = spark.table(name)
+        return spark.createDataFrame(view.collect(), view.schema)
     finally:
         # the source copy + stream checkpoint are per-invocation scratch
         shutil.rmtree(base, ignore_errors=True)

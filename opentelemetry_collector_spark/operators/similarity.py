@@ -530,14 +530,24 @@ def lsh_topk(
     ``n_planes`` (fewer planes = bigger buckets = higher recall), and
     ``max_cell`` sheds degenerate buckets exactly like the IVF probe.
     ``dim`` defaults to the corpus's actual vector length (one tiny
-    driver probe); passing a WRONG dim would NULL every dot product via
-    zip_with padding and silently return nothing, so an explicit dim
-    that disagrees with the data raises instead."""
-    probe = corpus.select(F.col(vec_col)).first()
-    actual_dim = len(probe[0]) if probe and probe[0] is not None else 0
+    driver probe over the first NON-NULL vector); passing a WRONG dim
+    would NULL every dot product via zip_with padding and silently
+    return nothing, and an all-NULL/empty corpus has no derivable dim —
+    both raise instead of degrading silently."""
+    probe = (
+        corpus.select(F.col(vec_col).alias("_v"))
+        .filter(F.col("_v").isNotNull())
+        .first()
+    )
+    if probe is None:
+        raise ValueError(
+            f"lsh_topk: corpus has no non-null {vec_col!r} vectors — "
+            "cannot derive a hyperplane dimension"
+        )
+    actual_dim = len(probe[0])
     if dim is None:
         dim = actual_dim
-    elif actual_dim and dim != actual_dim:
+    elif dim != actual_dim:
         raise ValueError(
             f"lsh_topk: dim={dim} but corpus vectors have length "
             f"{actual_dim}; a mismatch NULLs every bucket id"

@@ -102,6 +102,48 @@ class CheckpointStore:
         return out
 
     # -- queryable lineage tables --------------------------------------
+    def _flush_lock(self):
+        """File lock serializing lineage flushes across processes: the
+        merge is read-modify-write, so two concurrent flushes (a batch
+        run and a live streaming writer on one warehouse) would lose
+        the first writer's rows without it. O_EXCL create with bounded
+        retry; a lock older than 120 s is treated as abandoned (crashed
+        flusher) and broken."""
+        import contextlib
+
+        path = os.path.join(self.base_dir, "checkpoint", "_lineage.lock")
+
+        @contextlib.contextmanager
+        def lock():
+            deadline = time.time() + 30.0
+            while True:
+                try:
+                    fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    os.write(fd, str(time.time()).encode())
+                    os.close(fd)
+                    break
+                except FileExistsError:
+                    try:
+                        if time.time() - os.path.getmtime(path) > 120:
+                            os.unlink(path)  # abandoned lock
+                            continue
+                    except OSError:
+                        pass
+                    if time.time() > deadline:
+                        raise TimeoutError(
+                            f"lineage flush lock {path} held too long"
+                        )
+                    time.sleep(0.1)
+            try:
+                yield
+            finally:
+                try:
+                    os.unlink(path)
+                except OSError:
+                    pass
+
+        return lock()
+
     def _merge_other_runs(self, catalog, table: str, new_rows: list[tuple],
                           n_cols: int) -> list[tuple]:
         """Rows from OTHER run_ids already in the table + this run's
@@ -152,18 +194,21 @@ class CheckpointStore:
                     (m["run_id"], m["stage"], fr["file"],
                      int(fr["rows"]), int(fr["bytes"]))
                 )
-        if lineage_rows:
-            catalog.overwrite_local(
-                "lineage",
-                self._merge_other_runs(catalog, "lineage", lineage_rows, 6),
-                [("run_id", "string"), ("stage", "string"), ("part_id", "int32"),
-                 ("rows", "int64"), ("bytes", "int64"), ("wall_ms", "int64")],
-            )
-        if file_rows:
-            catalog.overwrite_local(
-                "file_stats",
-                self._merge_other_runs(catalog, "file_stats", file_rows, 5),
-                [("run_id", "string"), ("stage", "string"), ("file", "string"),
-                 ("rows", "int64"), ("bytes", "int64")],
-            )
+        with self._flush_lock():
+            if lineage_rows:
+                catalog.overwrite_local(
+                    "lineage",
+                    self._merge_other_runs(catalog, "lineage", lineage_rows, 6),
+                    [("run_id", "string"), ("stage", "string"),
+                     ("part_id", "int32"), ("rows", "int64"),
+                     ("bytes", "int64"), ("wall_ms", "int64")],
+                )
+            if file_rows:
+                catalog.overwrite_local(
+                    "file_stats",
+                    self._merge_other_runs(catalog, "file_stats", file_rows, 5),
+                    [("run_id", "string"), ("stage", "string"),
+                     ("file", "string"), ("rows", "int64"),
+                     ("bytes", "int64")],
+                )
         return len(lineage_rows), len(file_rows)

@@ -174,16 +174,22 @@ def run_pipeline(
 
         acked_chunks = [
             m for m in ckpt.metrics()
-            if m["stage"].startswith(f"{stage}.chunk") and "sink_chunks" in m
+            if m["stage"].startswith(f"{stage}.chunk")
         ]
         if acked_chunks:
-            prior = acked_chunks[0]["sink_chunks"]
-            if prior != sink_chunks:
+            # resume state exists — NEVER clear the table. Acks that
+            # recorded their modulus must match; acks without the key
+            # (written before it was recorded) are kept as-is: treating
+            # them as "fresh" would rmtree data that is_done() then
+            # skips re-writing — silent loss.
+            priors = {m["sink_chunks"] for m in acked_chunks
+                      if "sink_chunks" in m}
+            if priors and priors != {sink_chunks}:
                 raise ValueError(
                     f"{stage}: resume with sink_chunks={sink_chunks} but "
                     f"run {ckpt.run_id!r} acked chunks under "
-                    f"sink_chunks={prior}; resume with the same value or "
-                    "use a fresh run_id"
+                    f"sink_chunks={sorted(priors)}; resume with the same "
+                    "value or use a fresh run_id"
                 )
         else:
             shutil.rmtree(catalog.path(table), ignore_errors=True)

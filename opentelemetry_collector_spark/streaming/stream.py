@@ -166,15 +166,22 @@ def route_sink_writer(warehouse: str, sinks: list[str] | None = None,
         if sink in checked:
             return
         root = os.path.join(tables, sink)
-        if os.path.isdir(root) and any(
-            f.endswith(".parquet") for f in os.listdir(root)
-        ):
-            raise ValueError(
-                f"streaming sink {root!r} already contains flat "
-                "(non-epoch) parquet files; epoch-partitioned writes "
-                "into it would silently hide those rows on read — use a "
-                "separate data_dir or clear the table first"
-            )
+        if os.path.isdir(root):
+            foreign = [
+                f for f in os.listdir(root)
+                if not f.startswith("epoch=")
+                and f not in ("_SUCCESS", "_temporary")
+            ]
+            if foreign:
+                # flat batch files hide behind partition discovery;
+                # other partition schemes (the batch path's part=N
+                # chunk layout) collide on the partition column name
+                raise ValueError(
+                    f"streaming sink {root!r} already contains non-epoch "
+                    f"content ({foreign[:3]}...); mixing layouts in one "
+                    "table dir silently hides or breaks reads — use a "
+                    "separate data_dir or clear the table first"
+                )
         checked.add(sink)
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:

@@ -145,7 +145,7 @@ def test_chunked_resume_with_different_sink_chunks_refused(spark, sf_dir, tmp_pa
             spark, sf_dir, wh, run_id="runE", sink_chunks=4,
             fail_after_stage="write_sink_search.chunk001",
         )
-    with pytest.raises(ValueError, match="sink_chunks=4"):
+    with pytest.raises(ValueError, match="acked chunks under"):
         run_pipeline(spark, sf_dir, wh, run_id="runE", sink_chunks=2)
     # same value resumes fine
     res = run_pipeline(spark, sf_dir, wh, run_id="runE", sink_chunks=4)
