@@ -868,6 +868,35 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.fingerprint(docs).select("doc_id", "fp_exact", "fp_bag", "fp_roll")
 
 
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition signals (Gopher/C4 curation rules):
+    duplicate-2-gram fraction + top-word share per document, with an
+    integer-exact drop flag. Scan-speed HOF pass + two partial-agg
+    shuffles; see textstats.repetition_stats."""
+    from opentelemetry_collector_spark.operators import textstats
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textstats.repetition_stats(docs, id_col="doc_id")
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination over the dup-injected corpus: the
+    held-out "eval suite" is every 13th base document; its distinct
+    shingle set is broadcast against the corpus (minus the eval docs
+    themselves) and any document sharing a shingle is reported with
+    its overlap count. The near/exact dup copies of eval docs (+1M/+2M
+    ids) are the planted contamination the query must find."""
+    from opentelemetry_collector_spark.operators import dedup
+    corpus = _docs_aug(spark, sf_dir).filter(
+        ~((F.col("id") < 1000000) & (F.col("id") % 13 == 3))
+    )
+    bench = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") % 13 == 3)
+        .select("text")
+    )
+    return dedup.contamination_overlap(corpus, bench, id_col="id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcripts": q_transcripts,
@@ -927,6 +956,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "repetition": q_repetition,
+        "decontaminate": q_decontaminate,
     }
 
 
@@ -1885,5 +1916,62 @@ def oracle_sql() -> dict[str, str]:
                            % 2147483647)),
                      (acc, x) -> (acc * 1000003 + x) % 2147483647) AS fp_roll
             FROM documents
+        """,
+        "repetition": f"""
+            WITH g AS (
+              SELECT doc_id, w,
+                     list_transform(generate_series(0, greatest(len(w) - 2, 0)),
+                                    i -> concat_ws(' ', w[i+1], w[i+2])) AS grams
+              FROM (SELECT doc_id, {sqltext.WORDS_EXPR} AS w FROM documents)
+            ),
+            gg AS (
+              SELECT doc_id, CAST(len(w) AS INT) AS n_words,
+                     len(grams) AS n_2grams,
+                     len(list_distinct(grams)) AS n_uniq, w
+              FROM g
+            ),
+            wc AS (
+              SELECT doc_id, n_words, n_2grams, n_uniq, word, count(*) AS c
+              FROM (SELECT doc_id, n_words, n_2grams, n_uniq,
+                           unnest(w) AS word FROM gg)
+              GROUP BY 1, 2, 3, 4, 5
+            ),
+            top AS (
+              SELECT doc_id, n_words, n_2grams, n_uniq, max(c) AS top_word_n
+              FROM wc GROUP BY 1, 2, 3, 4
+            )
+            SELECT doc_id, n_words,
+                   round(CAST(n_2grams - n_uniq AS DOUBLE) / n_2grams, 6)
+                     AS dup_2gram_frac,
+                   round(CAST(top_word_n AS DOUBLE) / n_words, 6)
+                     AS top_word_frac,
+                   CAST((n_2grams - n_uniq) * 5 >= n_2grams
+                        OR top_word_n * 5 >= n_words * 2 AS INT)
+                     AS flag_repetitive
+            FROM top
+        """,
+        "decontaminate": f"""
+            WITH docs AS ({sqltext.DOCS_AUG_SQL}),
+            corpus AS (
+              SELECT * FROM docs WHERE NOT (id < 1000000 AND id % 13 = 3)
+            ),
+            bench AS (
+              SELECT lower(trim(text)) AS text FROM documents
+              WHERE doc_id % 13 = 3
+            ),
+            bsh AS (
+              SELECT DISTINCT unnest(sh) AS s
+              FROM (SELECT {sqltext.SHINGLES_EXPR} AS sh
+                    FROM (SELECT {sqltext.WORDS_EXPR} AS w, text FROM bench))
+            ),
+            csh AS (
+              SELECT id, CAST(len(sh) AS INT) AS n_shingles, unnest(sh) AS s
+              FROM (SELECT id, {sqltext.SHINGLES_EXPR} AS sh
+                    FROM (SELECT id, {sqltext.WORDS_EXPR} AS w, text FROM corpus))
+            )
+            SELECT id, n_shingles, count(*) AS n_overlap,
+                   CAST(count(*) * 2 >= n_shingles AS INT) AS flag_contaminated
+            FROM csh JOIN bsh USING (s)
+            GROUP BY id, n_shingles
         """,
     }

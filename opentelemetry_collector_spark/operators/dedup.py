@@ -684,3 +684,51 @@ def dedup_survivors(
         F.col("id").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def contamination_overlap(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share
+    word-shingle content with a held-out evaluation set (the standard
+    n-gram-overlap decontamination pass a pretraining corpus runs
+    before training; same shingle definition as the dedup family).
+
+    Returns one row per contaminated corpus document: ``n_shingles``
+    (its distinct shingle count), ``n_overlap`` (how many of those
+    appear anywhere in the benchmark set) and ``flag_contaminated`` —
+    1 when ≥ half the document's shingles are benchmark content,
+    decided in integer arithmetic so both engines agree exactly.
+
+    Scale shape: the benchmark side of a real decontamination job is
+    tiny (an eval suite, thousands of docs) against a 100 TB corpus —
+    its distinct shingle set is explicitly ``broadcast`` so the probe
+    is a map-side hash join on the corpus scan; the only shuffle is
+    the per-document overlap count, a partial-aggregated groupBy on
+    the id. Corpus shingles are computed once (bound-once HOF pass)
+    and exploded straight into the join.
+    """
+    bench_sh = (
+        bench.select(F.explode(shingles_col(F.col(text_col))).alias("s"))
+        .distinct()
+    )
+    sh = corpus.select(F.col(id_col), shingles_col(F.col(text_col)).alias("sh"))
+    corpus_sh = sh.select(
+        id_col, F.size("sh").alias("n_shingles"), F.explode("sh").alias("s")
+    )
+    hits = corpus_sh.join(F.broadcast(bench_sh), "s")
+    return (
+        hits.groupBy(id_col, "n_shingles")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .select(
+            id_col,
+            "n_shingles",
+            "n_overlap",
+            (F.col("n_overlap") * 2 >= F.col("n_shingles"))
+            .cast("int")
+            .alias("flag_contaminated"),
+        )
+    )

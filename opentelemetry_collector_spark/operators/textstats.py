@@ -119,6 +119,71 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_stats(
+    df: DataFrame, id_col: str = "id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher/C4-class intra-document repetition signals, per doc:
+
+    * ``dup_2gram_frac`` — fraction of word 2-grams that are repeats of
+      an earlier 2-gram in the same document (1 − distinct/total);
+    * ``top_word_frac`` — share of the document taken by its single
+      most frequent word;
+    * ``flag_repetitive`` — 1 when either signal crosses the curation
+      threshold (dup 2-grams ≥ 20% or top word ≥ 40%), evaluated in
+      integer arithmetic so both engines agree exactly.
+
+    Scale shape: the 2-gram counters are one bound-once HOF pass over
+    the token array (scan speed, no shuffle); the top-word mode is the
+    classic explode → (id, word) partial-count → per-id max, two
+    hash-partial aggregations that parallelize per-row at 100 TB. The
+    2-gram window mirrors shingles_col's edge semantics (greatest(n−2,
+    0) start positions; out-of-range words drop out of concat_ws) so a
+    one-word doc has exactly one "gram" and the denominator is never 0.
+    """
+    w = words_col(F.col(text_col))
+
+    def gram_counts(wb: Column) -> Column:
+        grams = F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(wb) - 2, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.get(wb, i), F.get(wb, i + 1)),
+        )
+        return F.array(F.size(grams), F.size(F.array_distinct(grams)))
+
+    counts = bind_once(w, gram_counts)
+    base = df.select(
+        F.col(id_col),
+        F.size(w).alias("n_words"),
+        F.get(counts, 0).alias("n_2grams"),
+        F.get(counts, 1).alias("n_uniq_2grams"),
+        w.alias("_w"),
+    )
+    top = (
+        base.select(
+            id_col, "n_words", "n_2grams", "n_uniq_2grams",
+            F.explode("_w").alias("word"),
+        )
+        .groupBy(id_col, "n_words", "n_2grams", "n_uniq_2grams", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col, "n_words", "n_2grams", "n_uniq_2grams")
+        .agg(F.max("c").alias("top_word_n"))
+    )
+    dup = F.col("n_2grams") - F.col("n_uniq_2grams")
+    return top.select(
+        F.col(id_col),
+        F.col("n_words"),
+        F.round(dup.cast("double") / F.col("n_2grams"), 6).alias("dup_2gram_frac"),
+        F.round(F.col("top_word_n").cast("double") / F.col("n_words"), 6).alias(
+            "top_word_frac"
+        ),
+        (
+            (dup * 5 >= F.col("n_2grams"))
+            | (F.col("top_word_n") * 5 >= F.col("n_words") * 2)
+        )
+        .cast("int")
+        .alias("flag_repetitive"),
+    )
+
+
 # Polynomial rolling-hash constants, shared verbatim with the DuckDB
 # oracle: base/modulus sized so acc*B + h stays far inside int64
 # (acc < 2^31, B < 2^20 → product < 2^51).

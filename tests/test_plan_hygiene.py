@@ -192,3 +192,15 @@ def test_lineage_aggregation_is_partial(spark, sf_dir):
     plan = _plan(m.q_lineage(spark, sf_dir))
     assert "HashAggregate" in plan
     assert "partial_count" in plan or "partial" in plan
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark, sf_dir):
+    """The decontamination probe must be a map-side broadcast hash join
+    (the eval-suite shingle set is tiny next to a 100 TB corpus) — a
+    shuffled sort-merge join here would re-shuffle the whole corpus on
+    shingle strings."""
+    import __spark_entry__ as m
+
+    plan = _plan(m.queries()["decontaminate"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
