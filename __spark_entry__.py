@@ -27,6 +27,7 @@ from opentelemetry_collector_spark.operators import enrich as enrich_ops
 from opentelemetry_collector_spark.operators import filters as filter_ops
 from opentelemetry_collector_spark.operators import parse as parse_ops
 from opentelemetry_collector_spark.operators import route as route_ops
+from opentelemetry_collector_spark.operators import textstats as textstats_mod
 from opentelemetry_collector_spark.sources import (
     derive_transcripts,
     role_lookup_df,
@@ -897,6 +898,36 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.contamination_overlap(corpus, bench, id_col="id")
 
 
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over a corpus with deterministically planted PII
+    (every 11th doc gets an email + IPv4 + phone appended — the same
+    injection the oracle applies), so the redaction regexes are
+    actually exercised, not vacuously green."""
+    from opentelemetry_collector_spark.operators import textstats
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    spiced = docs.select(
+        F.col("doc_id").alias("id"),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.lower(F.trim("text")), F.lit(_PII_SPICE)),
+        )
+        .otherwise(F.lower(F.trim("text")))
+        .alias("text"),
+    )
+    return textstats.redact_pii(spiced, id_col="id")
+
+
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-50 shingle document frequencies (boilerplate
+    discovery). TakeOrderedAndProject shape — see dedup.top_shingles."""
+    from opentelemetry_collector_spark.operators import dedup
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.top_shingles(docs, k=50)
+
+
+_PII_SPICE = " contact ann.lee+x@mail.example.org or 10.0.42.7 tel +14155550123"
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcripts": q_transcripts,
@@ -958,6 +989,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "repetition": q_repetition,
         "decontaminate": q_decontaminate,
+        "redact_pii": q_redact_pii,
+        "top_ngrams": q_top_ngrams,
     }
 
 
@@ -1973,5 +2006,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) * 2 >= n_shingles AS INT) AS flag_contaminated
             FROM csh JOIN bsh USING (s)
             GROUP BY id, n_shingles
+        """,
+        "redact_pii": f"""
+            WITH spiced AS (
+              SELECT doc_id AS id,
+                     CASE WHEN doc_id % 11 = 0
+                          THEN concat(lower(trim(text)), '{_PII_SPICE}')
+                          ELSE lower(trim(text)) END AS text
+              FROM documents
+            )
+            SELECT id,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                     '{textstats_mod.PII_EMAIL}', '<email>', 'g'),
+                     '{textstats_mod.PII_IP}', '<ip>', 'g'),
+                     '{textstats_mod.PII_PHONE}', '<phone>', 'g') AS redacted,
+                   CAST(len(regexp_extract_all(text, '{textstats_mod.PII_EMAIL}')) AS INT) AS n_emails,
+                   CAST(len(regexp_extract_all(text, '{textstats_mod.PII_IP}')) AS INT) AS n_ips,
+                   CAST(len(regexp_extract_all(text, '{textstats_mod.PII_PHONE}')) AS INT) AS n_phones
+            FROM spiced
+        """,
+        "top_ngrams": f"""
+            WITH sh AS (
+              SELECT {sqltext.SHINGLES_EXPR} AS sh
+              FROM (SELECT {sqltext.WORDS_EXPR} AS w, text FROM documents)
+            )
+            SELECT gram, count(*) AS n
+            FROM (SELECT unnest(sh) AS gram FROM sh)
+            GROUP BY gram ORDER BY n DESC, gram LIMIT 50
         """,
     }

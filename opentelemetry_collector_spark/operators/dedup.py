@@ -732,3 +732,24 @@ def contamination_overlap(
             .alias("flag_contaminated"),
         )
     )
+
+
+def top_shingles(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 50,
+) -> DataFrame:
+    """Corpus-wide top-k shingle document frequencies (the n-gram
+    frequency table curation uses for boilerplate discovery: shingles
+    appearing in thousands of documents are templates/boilerplate, and
+    this table is also where the LSH hot-bucket caps get their prior).
+
+    Scale shape: explode → map-side partial count → one shuffle on the
+    shingle key → TakeOrderedAndProject (per-partition top-k, merged on
+    the driver — never a global sort). Ties at the cut are broken by
+    the shingle string so the result SET is deterministic. Shingles are
+    distinct per document (shingles_col), so counts are document
+    frequencies, not raw occurrences."""
+    grams = df.select(F.explode(shingles_col(F.col(text_col))).alias("gram"))
+    counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n"))
+    return counts.orderBy(F.col("n").desc(), F.col("gram")).limit(k)

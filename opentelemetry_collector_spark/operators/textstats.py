@@ -119,6 +119,44 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# PII patterns shared verbatim with the DuckDB oracle (dialect subset:
+# [.]/[+] instead of escapes, explicit [0-9]/[a-z] classes — portable
+# across Java regex and RE2). Applied in list order; each replacement
+# token cannot be re-matched by a later pattern.
+PII_EMAIL = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z][a-z]+"
+PII_IP = "[0-9]+[.][0-9]+[.][0-9]+[.][0-9]+"
+PII_PHONE = "[+][0-9][0-9][0-9][0-9][0-9][0-9][0-9][0-9]+"
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", PII_EMAIL, "<email>"),
+    ("ip", PII_IP, "<ip>"),
+    ("phone", PII_PHONE, "<phone>"),
+]
+
+
+def redact_pii(
+    df: DataFrame, id_col: str = "id", text_col: str = "text"
+) -> DataFrame:
+    """PII scrubbing (training-data hygiene): replace email addresses,
+    IPv4 addresses and international phone numbers with typed
+    placeholder tokens, and count each category before redaction.
+
+    Pure chained regexp_replace / regexp_extract_all column work — one
+    codegen'd pass over the text, no shuffle, scan speed at 100 TB.
+    Patterns are module constants shared character-for-character with
+    the DuckDB oracle."""
+    t = F.col(text_col)
+    red = t
+    counts = {}
+    for name, pat, token in PII_PATTERNS:
+        counts[f"n_{name}s"] = F.size(F.regexp_extract_all(t, F.lit(pat), 0))
+        red = F.regexp_replace(red, pat, token)
+    return df.select(
+        F.col(id_col),
+        red.alias("redacted"),
+        *[c.alias(n) for n, c in counts.items()],
+    )
+
+
 def repetition_stats(
     df: DataFrame, id_col: str = "id", text_col: str = "text"
 ) -> DataFrame:

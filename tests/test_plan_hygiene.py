@@ -204,3 +204,14 @@ def test_decontaminate_broadcasts_benchmark_side(spark, sf_dir):
     plan = _plan(m.queries()["decontaminate"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_top_ngrams_plans_distributed_topk(spark, sf_dir):
+    """Corpus-wide top-k shingle frequencies must plan
+    TakeOrderedAndProject (per-partition top-k + driver merge), never a
+    global sort of every distinct shingle."""
+    import __spark_entry__ as m
+
+    plan = _plan(m.queries()["top_ngrams"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "SortExec" not in plan and "GlobalSort" not in plan
