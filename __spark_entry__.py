@@ -928,6 +928,28 @@ def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PII_SPICE = " contact ann.lee+x@mail.example.org or 10.0.42.7 tel +14155550123"
 
 
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunking (32-token chunks, 4-token
+    overlap) — scan-speed HOF pass + explode; see
+    packing.chunk_documents."""
+    from opentelemetry_collector_spark.operators import packing
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return packing.chunk_documents(
+        docs, id_col="doc_id", chunk_tokens=32, overlap=4
+    )
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-split sequence-packing accounting at a 256-token
+    budget, computed as a distributed prefix sum (id-range shards +
+    broadcast base offsets — no global single-task window); see
+    packing.pack_sequences."""
+    from opentelemetry_collector_spark.operators import packing, textstats
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = textstats.token_count(docs).select("doc_id", "n_tokens")
+    return packing.pack_sequences(d, id_col="doc_id", budget=256)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcripts": q_transcripts,
@@ -991,6 +1013,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "redact_pii": q_redact_pii,
         "top_ngrams": q_top_ngrams,
+        "chunk_docs": q_chunk_docs,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -2033,5 +2057,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT gram, count(*) AS n
             FROM (SELECT unnest(sh) AS gram FROM sh)
             GROUP BY gram ORDER BY n DESC, gram LIMIT 50
+        """,
+        "chunk_docs": f"""
+            WITH d AS (
+              SELECT doc_id, {sqltext.WORDS_EXPR} AS w FROM documents
+            ),
+            c AS (
+              SELECT doc_id, w,
+                     greatest(CAST(ceil((len(w) - 4) / 28.0) AS BIGINT), 1)
+                       AS n_chunks
+              FROM d
+            )
+            SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+                   array_to_string(w[i*28 + 1 : i*28 + 32], ' ') AS chunk_text,
+                   CAST(len(w[i*28 + 1 : i*28 + 32]) AS INT) AS n_chunk_tokens
+            FROM c, UNNEST(generate_series(0, n_chunks - 1)) AS t(i)
+        """,
+        "pack_sequences": f"""
+            WITH d AS (
+              SELECT doc_id, CAST(len({sqltext.WORDS_EXPR}) AS BIGINT) AS n_tokens
+              FROM documents
+            ),
+            s AS (
+              SELECT doc_id, n_tokens,
+                     sum(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - n_tokens AS start_offset
+              FROM d
+            )
+            SELECT doc_id, n_tokens, start_offset,
+                   CAST(floor(start_offset / 256.0) AS BIGINT) AS seq_id,
+                   CAST(CAST(floor((start_offset + n_tokens - 1) / 256.0) AS BIGINT)
+                        > CAST(floor(start_offset / 256.0) AS BIGINT) AS INT)
+                     AS straddles
+            FROM s
         """,
     }

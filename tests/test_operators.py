@@ -201,3 +201,48 @@ def test_otlp_json_file_receiver_round_trip(spark, sf_dir, tmp_path):
     )
     assert back.exceptAll(orig).count() == 0
     assert orig.exceptAll(back).count() == 0
+
+
+def test_chunk_documents_edge_math(spark):
+    """Exact chunk-count edges: a doc of exactly chunk_tokens words is
+    one chunk, one extra word adds a clipped second chunk that starts
+    at the overlap, and a short doc yields a single short chunk."""
+    from opentelemetry_collector_spark.operators.packing import chunk_documents
+
+    rows = [
+        (1, " ".join(f"w{i}" for i in range(8))),   # exactly chunk_tokens
+        (2, " ".join(f"w{i}" for i in range(9))),   # one over
+        (3, "a b c"),                                # short
+    ]
+    df = spark.createDataFrame(rows, "id bigint, text string")
+    out = chunk_documents(df, chunk_tokens=8, overlap=2)
+    got = {
+        (r["id"], r["chunk_idx"]): (r["chunk_text"], r["n_chunk_tokens"])
+        for r in out.collect()
+    }
+    assert sorted(k[1] for k in got if k[0] == 1) == [0]
+    assert got[(1, 0)][1] == 8
+    assert sorted(k[1] for k in got if k[0] == 2) == [0, 1]
+    # second chunk starts at stride=6: words w6, w7, w8
+    assert got[(2, 1)] == ("w6 w7 w8", 3)
+    assert got[(3, 0)] == ("a b c", 3)
+
+
+def test_pack_sequences_matches_serial_scan(spark):
+    """The sharded distributed prefix sum must equal the serial
+    concat-then-split accounting for arbitrary shard counts."""
+    from opentelemetry_collector_spark.operators.packing import pack_sequences
+
+    rows = [(i, 1 + (i * 7) % 13) for i in range(100)]
+    df = spark.createDataFrame(rows, "id bigint, n_tokens bigint")
+    for shards in (1, 3, 32):
+        out = {
+            r["id"]: (r["start_offset"], r["seq_id"], r["straddles"])
+            for r in pack_sequences(df, budget=20, shards=shards).collect()
+        }
+        off = 0
+        for i, n in rows:
+            seq = off // 20
+            straddle = int((off + n - 1) // 20 > seq)
+            assert out[i] == (off, seq, straddle), (shards, i)
+            off += n
