@@ -2035,7 +2035,7 @@ def oracle_sql() -> dict[str, str]:
             WITH spiced AS (
               SELECT doc_id AS id,
                      CASE WHEN doc_id % 11 = 0
-                          THEN concat(lower(trim(text)), '{_PII_SPICE}')
+                          THEN lower(trim(text)) || '{_PII_SPICE}'
                           ELSE lower(trim(text)) END AS text
               FROM documents
             )

@@ -96,7 +96,11 @@ def _cap_buckets(
     hot.unpersist()
     return keyed
 
-from opentelemetry_collector_spark.operators.textstats import norm_text, words_col
+from opentelemetry_collector_spark.operators.textstats import (
+    grams_col,
+    norm_text,
+    words_col,
+)
 from opentelemetry_collector_spark.sqltext import MINHASH_COEFFS, MINHASH_P
 
 # MinHash/LSH defaults: 12 signatures = 4 bands × 3 rows → s-curve
@@ -128,22 +132,11 @@ def _bind_once(value: Column, body) -> Column:
 def shingles_col(c: Column, k: int = 3) -> Column:
     """Distinct k-word shingles as an array column (no explode).
 
-    The words array is bound once (_bind_once): referencing the split
-    expression directly inside the lambda would re-run the split on
-    every F.get — ~3 per shingle position — in the interpreted HOF path
-    (measured 10s → ~1s for 6k docs at sf0.1)."""
-
-    def body(w: Column) -> Column:
-        # F.get is 0-based and null-safe (ANSI-proof for docs shorter
-        # than k); concat_ws skips NULLs.
-        return F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.greatest(F.size(w) - k, F.lit(0))),
-                lambda i: F.concat_ws(" ", *[F.get(w, i + j) for j in range(k)]),
-            )
-        )
-
-    return _bind_once(words_col(c), body)
+    The gram window itself lives in textstats.grams_col — the ONE
+    source of the edge semantics (bound-once split, greatest(n−k, 0)
+    start positions, NULL-skipping concat_ws) shared with
+    repetition_stats and every DuckDB twin."""
+    return F.array_distinct(grams_col(c, k))
 
 
 # Signature computation path for the pair functions: "arrow" (default)

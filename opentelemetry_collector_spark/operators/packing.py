@@ -88,30 +88,42 @@ def pack_sequences(
     ``straddles`` flag when it crosses a sequence boundary (the part a
     masking-aware loader needs).
 
-    The global offset is a distributed prefix sum: contiguous id-range
-    shards (width = id span / shards) compute local running sums in a
-    bounded window; the per-shard totals — ``shards`` rows — are
+    The global offset is a distributed prefix sum over contiguous
+    id-range shards. Shard boundaries are EXACT id quantiles
+    (approxQuantile at relativeError 0), so shards are row-count
+    balanced even for sparse or clustered id spaces (a fixed
+    value-width shard would collapse a dense id cluster into one
+    unbounded window partition). The output is invariant to boundary
+    placement — any contiguous partition of the id axis yields the
+    same prefix sums — so the quantile sketch is a performance choice,
+    never a semantics choice. Each shard computes a local running sum
+    in a bounded window; the per-shard totals — ``shards`` rows — are
     cumulated on the driver and joined back as base offsets. No global
-    single-task window anywhere."""
-    lo, hi = df.select(F.min(id_col), F.max(id_col)).first()
-    if lo is None:
-        return df.sparkSession.createDataFrame(
-            [], f"{id_col} bigint, {token_col} bigint, start_offset bigint, "
-            "seq_id bigint, straddles int"
+    single-task window anywhere; the windowed intermediate is persisted
+    (released via dedup.release_cached) so the totals pass and the
+    final projection share one computation."""
+    from opentelemetry_collector_spark.operators.dedup import _persist
+
+    probs = [i / shards for i in range(1, shards)]
+    bounds = (
+        sorted(set(df.stat.approxQuantile(id_col, probs, 0.0))) if probs else []
+    )
+    shard = F.lit(0).cast("bigint")
+    for b in bounds:
+        shard = shard + (F.col(id_col) > F.lit(b)).cast("bigint")
+    local = _persist(
+        df.select(
+            F.col(id_col),
+            F.col(token_col).cast("bigint").alias(token_col),
+            shard.alias("_shard"),
+        ).withColumn(
+            "_local_end",
+            F.sum(token_col).over(
+                Window.partitionBy("_shard")
+                .orderBy(id_col)
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
         )
-    width = max((int(hi) - int(lo)) // shards + 1, 1)
-    shard = F.floor((F.col(id_col) - F.lit(int(lo))) / F.lit(width))
-    local = df.select(
-        F.col(id_col),
-        F.col(token_col).cast("bigint").alias(token_col),
-        shard.alias("_shard"),
-    ).withColumn(
-        "_local_end",
-        F.sum(token_col).over(
-            Window.partitionBy("_shard")
-            .orderBy(id_col)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
     )
     totals = sorted(
         local.groupBy("_shard").agg(F.max("_local_end").alias("t")).collect(),

@@ -44,6 +44,24 @@ def words_col(c: Column) -> Column:
     return F.split(norm_text(c), "[ ]+")
 
 
+def grams_col(c: Column, k: int) -> Column:
+    """Non-distinct k-word grams as an array column — THE single source
+    of the gram-window edge semantics shared by dedup.shingles_col and
+    repetition_stats (and their DuckDB twins): start positions
+    0..greatest(n−k, 0), out-of-range words drop out of concat_ws, so
+    every document yields at least one (possibly short) gram and the
+    gram count is never 0. The words array is bound once; F.get is
+    0-based and null-safe."""
+
+    def body(w: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(w) - k, F.lit(0))),
+            lambda i: F.concat_ws(" ", *[F.get(w, i + j) for j in range(k)]),
+        )
+
+    return bind_once(words_col(c), body)
+
+
 def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace token count + a BPE-ish subword estimate (≈ chars/4,
     the common rule of thumb — cheap, deterministic, scan-speed)."""
@@ -174,20 +192,15 @@ def repetition_stats(
     the token array (scan speed, no shuffle); the top-word mode is the
     classic explode → (id, word) partial-count → per-id max, two
     hash-partial aggregations that parallelize per-row at 100 TB. The
-    2-gram window mirrors shingles_col's edge semantics (greatest(n−2,
-    0) start positions; out-of-range words drop out of concat_ws) so a
-    one-word doc has exactly one "gram" and the denominator is never 0.
+    2-gram window is grams_col (the shared single source of the gram
+    edge semantics) so a one-word doc has exactly one "gram" and the
+    denominator is never 0.
     """
     w = words_col(F.col(text_col))
-
-    def gram_counts(wb: Column) -> Column:
-        grams = F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(wb) - 2, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.get(wb, i), F.get(wb, i + 1)),
-        )
-        return F.array(F.size(grams), F.size(F.array_distinct(grams)))
-
-    counts = bind_once(w, gram_counts)
+    counts = bind_once(
+        grams_col(F.col(text_col), 2),
+        lambda g: F.array(F.size(g), F.size(F.array_distinct(g))),
+    )
     base = df.select(
         F.col(id_col),
         F.size(w).alias("n_words"),

@@ -246,3 +246,29 @@ def test_pack_sequences_matches_serial_scan(spark):
             straddle = int((off + n - 1) // 20 > seq)
             assert out[i] == (off, seq, straddle), (shards, i)
             off += n
+
+
+def test_pack_sequences_sparse_ids_stay_balanced(spark):
+    """Augmented-style sparse ids (a dense base cluster plus +1M
+    copies) must neither skew the shards (quantile boundaries are
+    row-count based, not value based) nor change the result."""
+    from opentelemetry_collector_spark.operators.packing import pack_sequences
+
+    ids = list(range(100)) + [1_000_000 + i for i in range(0, 100, 10)]
+    rows = [(i, 1 + i % 9) for i in ids]
+    df = spark.createDataFrame(rows, "id bigint, n_tokens bigint")
+    out = {
+        r["id"]: (r["start_offset"], r["seq_id"])
+        for r in pack_sequences(df, budget=25, shards=4).collect()
+    }
+    off = 0
+    for i, n in sorted(rows):
+        assert out[i] == (off, off // 25), i
+        off += n
+    # the quantile boundaries used internally must split the dense
+    # cluster instead of putting all 100 base rows in one shard
+    bounds = df.stat.approxQuantile("id", [0.25, 0.5, 0.75], 0.0)
+    shard_of = lambda v: sum(v > b for b in sorted(set(bounds)))
+    from collections import Counter
+    occupancy = Counter(shard_of(i) for i in ids)
+    assert max(occupancy.values()) <= 40, occupancy
