@@ -55,37 +55,17 @@ def main(argv: list[str] | None = None) -> int:
                 "total_rows": sum(counts.values()),
             }))
         elif args.curate:
-            from pyspark.sql import functions as F
-
-            from opentelemetry_collector_spark.operators import dedup, textstats
+            from opentelemetry_collector_spark.plans.curation import curate_corpus
             from opentelemetry_collector_spark.sinks.tables import TableCatalog
 
             docs = spark.read.parquet(f"{args.sf_dir}/documents.parquet")
-            pairs = dedup.minhash_lsh_pairs(docs)
-            kept = dedup.dedup_survivors(docs, pairs)
-            scored = textstats.lang_id(
-                textstats.quality_score(textstats.token_count(kept))
+            stats = curate_corpus(
+                spark,
+                docs,
+                TableCatalog(spark, args.warehouse),
+                quality_min=args.curate_quality_min,
             )
-            good = scored.filter(F.col("quality") >= args.curate_quality_min)
-            catalog = TableCatalog(spark, args.warehouse)
-            from pyspark.sql import Observation
-
-            obs = Observation("curated")
-            catalog.overwrite(
-                "curated_documents",
-                good.observe(obs, F.count(F.lit(1)).alias("n")),
-            )
-            n_in = docs.count()
-            n_out = obs.get["n"]
-            dedup.release_cached()
-            print(json.dumps({
-                "mode": "curate",
-                "docs_in": n_in,
-                "docs_out": n_out,
-                "removed": n_in - n_out,
-                "quality_min": args.curate_quality_min,
-                "table": "curated_documents",
-            }))
+            print(json.dumps({"mode": "curate", **stats}))
         elif args.stream:
             from opentelemetry_collector_spark.sources import derive_transcripts
             from opentelemetry_collector_spark.streaming import stream as ss
