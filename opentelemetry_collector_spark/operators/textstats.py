@@ -84,7 +84,11 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     punct = F.length(F.regexp_replace(t, "[a-z0-9 ]", ""))
     stop_hits = F.size(F.filter(w, lambda x: x.isin(STOPWORDS)))
     avg_wlen = F.round(n_chars.cast("double") / n_tok, 6)
-    punct_ratio = F.round(punct.cast("double") / n_chars, 6)
+    # n_tok is never 0 (split('') yields ['']), but n_chars IS 0 for
+    # empty/whitespace text — under ANSI mode a plain / would throw, so
+    # the punct ratio (and therefore quality) goes NULL there instead.
+    # Identical to / for every non-empty doc, so oracle parity holds.
+    punct_ratio = F.round(F.try_divide(punct.cast("double"), n_chars), 6)
     stop_ratio = F.round(stop_hits.cast("double") / n_tok, 6)
     score = F.round(
         F.least(F.lit(1.0), n_tok.cast("double") / 64.0) * (1.0 - punct_ratio), 6

@@ -33,73 +33,94 @@ def curate_corpus(
     ...), write survivors to ``table`` via ``catalog`` and return the
     per-stage accounting dict. Stages cascade: a document removed by
     decontamination is not re-counted by the repetition or quality
-    gates."""
+    gates. Input hygiene: NULL text is coalesced to '' (degenerate
+    text is then claimed by a gate — repetition's top-word signal —
+    instead of vanishing NULL-filtered, so the docs_in = Σremoved +
+    docs_out identity always closes), same-id rows are collapsed
+    before dedup (the
+    residual formula attributes them to dup_removed; same-id rows with
+    differing text are corrupt input and an arbitrary one survives),
+    and the held-out split uses pmod so negative ids split uniformly
+    too. PII redaction runs only on survivors — dropped docs never pay
+    the regex passes — and its count rides the sink write's
+    Observation. Every persisted intermediate is released in a finally
+    (exceptions in a long-lived session must not leak cached blocks)."""
     from opentelemetry_collector_spark.operators import dedup, textstats
 
-    heldout = (F.col("doc_id") % heldout_mod) == heldout_rem
+    docs = docs.select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
+    heldout = F.pmod(F.col("doc_id"), F.lit(heldout_mod)) == heldout_rem
     bench = docs.filter(heldout).select("text")
-    train = docs.filter(~heldout)
+    train = docs.filter(~heldout).dropDuplicates(["doc_id"])
 
-    pairs = dedup.minhash_lsh_pairs(train)
-    kept = dedup.dedup_survivors(train, pairs)
+    try:
+        pairs = dedup.minhash_lsh_pairs(train)
+        kept = dedup.dedup_survivors(train, pairs)
 
-    scored = textstats.lang_id(
-        textstats.quality_score(textstats.token_count(kept))
-    )
-    rep = textstats.repetition_stats(kept, id_col="doc_id").select(
-        "doc_id", "flag_repetitive"
-    )
-    cont = (
-        dedup.contamination_overlap(kept, bench)
-        .filter(F.col("flag_contaminated") == 1)
-        .select("doc_id")
-        .withColumn("_cont", F.lit(1))
-    )
-    red = textstats.redact_pii(kept, id_col="doc_id").select(
-        "doc_id", "redacted", "n_emails", "n_ips", "n_phones"
-    )
-    combined = dedup._persist(
-        scored.join(rep, "doc_id")
-        .join(red, "doc_id")
-        .join(cont, "doc_id", "left")
-        .withColumn("_cont", F.coalesce("_cont", F.lit(0)))
-    )
+        scored = textstats.lang_id(textstats.quality_score(kept))
+        rep = textstats.repetition_stats(kept, id_col="doc_id").select(
+            "doc_id", "flag_repetitive"
+        )
+        cont = (
+            dedup.contamination_overlap(kept, bench)
+            .filter(F.col("flag_contaminated") == 1)
+            .select("doc_id")
+            .withColumn("_cont", F.lit(1))
+        )
+        combined = dedup._persist(
+            scored.join(rep, "doc_id")
+            .join(cont, "doc_id", "left")
+            .withColumn("_cont", F.coalesce("_cont", F.lit(0)))
+        )
 
-    lowq = F.col("quality") < quality_min
-    not_cont = F.col("_cont") == 0
-    not_rep = F.col("flag_repetitive") == 0
-    keep = not_cont & not_rep & ~lowq
-    npii = F.col("n_emails") + F.col("n_ips") + F.col("n_phones")
+        # NULL quality (empty text: 0/0 ratios) counts as low quality
+        lowq = F.coalesce(F.col("quality") < quality_min, F.lit(True))
+        not_cont = F.col("_cont") == 0
+        not_rep = F.col("flag_repetitive") == 0
+        keep = not_cont & not_rep & ~lowq
 
-    row0 = docs.agg(
-        F.count(F.lit(1)).alias("n_in"),
-        F.coalesce(F.sum(heldout.cast("int")), F.lit(0)).alias("n_heldout"),
-    ).first()
-    row1 = combined.agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.coalesce(F.sum("_cont"), F.lit(0)).alias("n_cont"),
-        F.coalesce(
-            F.sum((not_cont & ~not_rep).cast("int")), F.lit(0)
-        ).alias("n_rep"),
-        F.coalesce(
-            F.sum((not_cont & not_rep & lowq).cast("int")), F.lit(0)
-        ).alias("n_lowq"),
-        F.coalesce(
-            F.sum(F.when(keep, npii).otherwise(F.lit(0))), F.lit(0)
-        ).alias("n_pii"),
-    ).first()
+        row0 = docs.agg(
+            F.count(F.lit(1)).alias("n_in"),
+            F.coalesce(F.sum(heldout.cast("int")), F.lit(0)).alias("n_heldout"),
+        ).first()
+        row1 = combined.agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.coalesce(F.sum("_cont"), F.lit(0)).alias("n_cont"),
+            F.coalesce(
+                F.sum((not_cont & ~not_rep).cast("int")), F.lit(0)
+            ).alias("n_rep"),
+            F.coalesce(
+                F.sum((not_cont & not_rep & lowq).cast("int")), F.lit(0)
+            ).alias("n_lowq"),
+        ).first()
 
-    obs = Observation("curated")
-    out = combined.filter(keep).select(
-        "doc_id",
-        F.col("redacted").alias("text"),
-        "n_tokens",
-        "quality",
-        "lang_guess",
-    )
-    catalog.overwrite(table, out.observe(obs, F.count(F.lit(1)).alias("n")))
-    n_out = obs.get["n"]
-    dedup.release_cached()
+        survivors = combined.filter(keep)
+        red = textstats.redact_pii(
+            survivors.select("doc_id", "text"), id_col="doc_id"
+        )
+        obs = Observation("curated")
+        npii = F.col("n_emails") + F.col("n_ips") + F.col("n_phones")
+        out = (
+            survivors.select("doc_id", "n_tokens", "quality", "lang_guess")
+            .join(red, "doc_id")
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.sum(npii), F.lit(0)).alias("n_pii"),
+            )
+            .select(
+                "doc_id",
+                F.col("redacted").alias("text"),
+                "n_tokens",
+                "quality",
+                "lang_guess",
+            )
+        )
+        catalog.overwrite(table, out)
+        metrics = obs.get
+    finally:
+        dedup.release_cached()
 
     n_in, n_heldout = int(row0["n_in"]), int(row0["n_heldout"])
     n_kept = int(row1["n_kept"])
@@ -110,8 +131,8 @@ def curate_corpus(
         "contaminated_removed": int(row1["n_cont"]),
         "repetitive_removed": int(row1["n_rep"]),
         "low_quality_removed": int(row1["n_lowq"]),
-        "pii_redactions": int(row1["n_pii"]),
-        "docs_out": int(n_out),
+        "pii_redactions": int(metrics["n_pii"]),
+        "docs_out": int(metrics["n"]),
         "quality_min": quality_min,
         "table": table,
     }
