@@ -217,3 +217,23 @@ def test_top_ngrams_plans_distributed_topk(spark, sf_dir):
     # executed plans print sort nodes as "Sort [" — "SortExec" never
     # appears in toString(), so match the printed form
     assert "Sort " not in plan
+
+
+def test_pack_sequences_window_is_shard_partitioned(spark, sf_dir):
+    """The packing prefix sum must run inside shard-partitioned window
+    partitions — an unpartitioned running sum would put the whole
+    corpus in one task."""
+    import __spark_entry__ as m
+
+    plan = _plan(m.queries()["pack_sequences"](spark, sf_dir))
+    assert "windowspecdefinition(_shard" in plan
+
+
+def test_repetition_aggregations_are_partial(spark, sf_dir):
+    """The top-word mode must map-side combine both aggregation levels
+    (per-(doc, word) count and per-doc max)."""
+    import __spark_entry__ as m
+
+    plan = _plan(m.queries()["repetition"](spark, sf_dir))
+    assert "partial_count" in plan
+    assert "partial_max" in plan
