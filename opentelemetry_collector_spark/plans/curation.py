@@ -28,6 +28,7 @@ def curate_corpus(
     heldout_mod: int = 13,
     heldout_rem: int = 3,
     table: str = "curated_documents",
+    pairs: DataFrame | None = None,
 ) -> dict:
     """Run the full curation pipeline over ``docs`` (doc_id, text,
     ...), write survivors to ``table`` via ``catalog`` and return the
@@ -44,7 +45,17 @@ def curate_corpus(
     too. PII redaction runs only on survivors — dropped docs never pay
     the regex passes — and its count rides the sink write's
     Observation. Every persisted intermediate is released in a finally
-    (exceptions in a long-lived session must not leak cached blocks)."""
+    (exceptions in a long-lived session must not leak cached blocks).
+
+    ``pairs`` optionally supplies a precomputed duplicate-pair frame
+    over the SAME train split (a suite that already ran the pair
+    oracle, or a nightly job reusing yesterday's candidates) so the
+    MinHash pass is not regenerated; it must cover exactly the train
+    documents — a full-corpus pair set would elect held-out docs as
+    component representatives and over-drop. The returned accounting
+    includes ``cc_converged`` — False means the component fixpoint was
+    not reached and dup_removed is a LOWER bound (split components keep
+    one representative per fragment)."""
     from opentelemetry_collector_spark.operators import dedup, textstats
 
     docs = docs.select(
@@ -54,9 +65,11 @@ def curate_corpus(
     bench = docs.filter(heldout).select("text")
     train = docs.filter(~heldout).dropDuplicates(["doc_id"])
 
+    cc_stats: dict = {}
     try:
-        pairs = dedup.minhash_lsh_pairs(train)
-        kept = dedup.dedup_survivors(train, pairs)
+        if pairs is None:
+            pairs = dedup.minhash_lsh_pairs(train)
+        kept = dedup.dedup_survivors(train, pairs, stats=cc_stats)
 
         scored = textstats.lang_id(textstats.quality_score(kept))
         rep = textstats.repetition_stats(kept, id_col="doc_id").select(
@@ -135,4 +148,6 @@ def curate_corpus(
         "docs_out": int(metrics["n"]),
         "quality_min": quality_min,
         "table": table,
+        "cc_converged": bool(cc_stats.get("converged", False)),
+        "cc_rounds": int(cc_stats.get("rounds", 0)),
     }

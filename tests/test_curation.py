@@ -49,6 +49,7 @@ def test_curate_corpus_stages_and_accounting(spark, tmp_path):
     assert stats["repetitive_removed"] == 2  # spam doc + the '' survivor
     assert stats["low_quality_removed"] == 1
     assert stats["pii_redactions"] == 3
+    assert stats["cc_converged"] is True and stats["cc_rounds"] >= 1
     assert stats["docs_out"] == (
         stats["docs_in"]
         - stats["heldout_removed"]

@@ -100,6 +100,39 @@ def test_connected_components_chain_and_forest(spark):
     dedup.release_cached()
 
 
+def test_connected_components_nonconvergence_is_surfaced(spark):
+    """A diameter larger than max_iters must be machine-readable: stats
+    reports converged=False, strict raises, and a converged run reports
+    converged=True — silently returning an upper-bound grouping (which
+    under-deduplicates downstream) is not allowed."""
+    import pytest
+
+    # 12-node path: diameter 11, round-0 fusion + 1 round cannot finish
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a bigint, id_b bigint"
+    )
+    stats: dict = {}
+    dedup.connected_components(pairs, max_iters=1, stats=stats).collect()
+    assert stats == {"converged": False, "rounds": 1}
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        dedup.connected_components(pairs, max_iters=1, strict=True).collect()
+    stats = {}
+    got = {
+        r["id"]: r["grp"]
+        for r in dedup.connected_components(pairs, stats=stats).collect()
+    }
+    assert stats["converged"] is True and 1 <= stats["rounds"] <= 25
+    assert got == {i: 0 for i in range(13)}
+    # lineage truncation: each round is localCheckpoint-ed, so the
+    # result's plan is a flat scan over an RDD block, NOT a 12-deep
+    # join tree (which grows geometrically in compile cost — the
+    # pre-fix behavior was 115s/round and driver OOM on this graph)
+    plan = dedup.connected_components(pairs)._jdf.queryExecution().toString()
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan
+    assert plan.count("Join") <= 1
+    dedup.release_cached()
+
+
 def test_two_level_topk_equals_single_window_with_ties(spark):
     """_topk_per_query must be bit-identical to the plain single-window
     rank under heavy ties (the exactness argument depends on identical
