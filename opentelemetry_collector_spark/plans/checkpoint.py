@@ -108,24 +108,37 @@ class CheckpointStore:
         run and a live streaming writer on one warehouse) would lose
         the first writer's rows without it. O_EXCL create with bounded
         retry; a lock older than 120 s is treated as abandoned (crashed
-        flusher) and broken."""
+        flusher) and broken.
+
+        Stale-break protocol: rename the stale lock to a unique name
+        BEFORE removing it. rename is atomic, so when two waiters both
+        observe the same stale lock only one rename succeeds — the
+        loser gets FileNotFoundError and goes back to contending for
+        the fresh O_EXCL create. A naive unlink+retry here would let
+        the second waiter unlink the first's freshly-acquired lock (the
+        TOCTOU the lock exists to prevent)."""
         import contextlib
 
         path = os.path.join(self.base_dir, "checkpoint", "_lineage.lock")
 
         @contextlib.contextmanager
         def lock():
+            token = f"{os.getpid()}:{uuid.uuid4().hex}"
             deadline = time.time() + 30.0
             while True:
                 try:
                     fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                    os.write(fd, str(time.time()).encode())
+                    os.write(fd, token.encode())
                     os.close(fd)
                     break
                 except FileExistsError:
                     try:
                         if time.time() - os.path.getmtime(path) > 120:
-                            os.unlink(path)  # abandoned lock
+                            # claim the stale lock via atomic rename;
+                            # exactly one contender wins
+                            claimed = f"{path}.stale.{uuid.uuid4().hex}"
+                            os.rename(path, claimed)
+                            os.unlink(claimed)
                             continue
                     except OSError:
                         pass
@@ -137,20 +150,28 @@ class CheckpointStore:
             try:
                 yield
             finally:
+                # unlink only our own lock: a >120s flush whose lock was
+                # broken and re-acquired by someone else must not remove
+                # the new holder's lock
                 try:
-                    os.unlink(path)
+                    with open(path) as f:
+                        if f.read() == token:
+                            os.unlink(path)
                 except OSError:
                     pass
 
         return lock()
 
     def _merge_other_runs(self, catalog, table: str, new_rows: list[tuple],
-                          n_cols: int) -> list[tuple]:
+                          col_names: list[str]) -> list[tuple]:
         """Rows from OTHER run_ids already in the table + this run's
         rows — so batch and streaming runs against one warehouse share
         the lineage tables without clobbering each other (each flush
         replaces only its own run's rows; re-flushing is idempotent).
-        Driver-side pyarrow read: the tables are O(stages) tiny."""
+        Driver-side pyarrow read: the tables are O(stages) tiny.
+        Columns are selected BY NAME in the declared schema order — a
+        future on-disk schema reorder/extension fails loudly (KeyError)
+        instead of silently merging shifted tuples."""
         import os
 
         import pyarrow.parquet as pq
@@ -159,8 +180,11 @@ class CheckpointStore:
         if not os.path.isdir(path):
             return new_rows
         existing = pq.read_table(path)
-        cols = [existing.column(i).to_pylist() for i in range(n_cols)]
-        kept = [r for r in zip(*cols) if r[0] != self.run_id]
+        cols = [existing.column(name).to_pylist() for name in col_names]
+        run_ids = existing.column("run_id").to_pylist()
+        kept = [
+            r for rid, r in zip(run_ids, zip(*cols)) if rid != self.run_id
+        ]
         return kept + new_rows
 
     def write_lineage_table(self, spark, catalog) -> tuple[int, int]:
@@ -195,20 +219,31 @@ class CheckpointStore:
                      int(fr["rows"]), int(fr["bytes"]))
                 )
         with self._flush_lock():
+            lineage_schema = [
+                ("run_id", "string"), ("stage", "string"),
+                ("part_id", "int32"), ("rows", "int64"),
+                ("bytes", "int64"), ("wall_ms", "int64"),
+            ]
+            files_schema = [
+                ("run_id", "string"), ("stage", "string"),
+                ("file", "string"), ("rows", "int64"), ("bytes", "int64"),
+            ]
             if lineage_rows:
                 catalog.overwrite_local(
                     "lineage",
-                    self._merge_other_runs(catalog, "lineage", lineage_rows, 6),
-                    [("run_id", "string"), ("stage", "string"),
-                     ("part_id", "int32"), ("rows", "int64"),
-                     ("bytes", "int64"), ("wall_ms", "int64")],
+                    self._merge_other_runs(
+                        catalog, "lineage", lineage_rows,
+                        [n for n, _ in lineage_schema],
+                    ),
+                    lineage_schema,
                 )
             if file_rows:
                 catalog.overwrite_local(
                     "file_stats",
-                    self._merge_other_runs(catalog, "file_stats", file_rows, 5),
-                    [("run_id", "string"), ("stage", "string"),
-                     ("file", "string"), ("rows", "int64"),
-                     ("bytes", "int64")],
+                    self._merge_other_runs(
+                        catalog, "file_stats", file_rows,
+                        [n for n, _ in files_schema],
+                    ),
+                    files_schema,
                 )
         return len(lineage_rows), len(file_rows)

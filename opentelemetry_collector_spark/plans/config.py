@@ -275,6 +275,19 @@ class ServiceConfig:
                 raise ConfigError(
                     f"pipeline {name!r}: references exporter more than once"
                 )
+        # debugexporter sampling knobs: thereafter must be >= 1 — it is
+        # a modulo divisor (keep every Nth after the initial burst), and
+        # the reference rejects nothing lower (config.go:29-34 defaults
+        # thereafter to 500; 0 would divide by zero)
+        for cid, opts in self.exporters.items():
+            if _ctype(cid) != "debug":
+                continue
+            st = (opts or {}).get("sampling_thereafter", 500)
+            if not isinstance(st, int) or st < 1:
+                raise ConfigError(
+                    f"exporter {cid!r}: sampling_thereafter must be an "
+                    f"integer >= 1 (got {st!r})"
+                )
         # every connector must be used as BOTH an exporter somewhere and
         # a receiver somewhere else (graph.go:151-199 orphan checks)
         for c in self.connectors:
@@ -563,7 +576,10 @@ def run(
 
                     out_df = df
                     # debugexporter sampling knobs (config.go:29-34):
-                    # first N per event-time second, then every Mth
+                    # first N per event-time second, then every Mth.
+                    # thereafter defaults to the reference's 500 (keep
+                    # 1-in-500 after the burst), not 1; validate()
+                    # already rejected values < 1
                     si = int(opts.get("sampling_initial", 0))
                     if si > 0:
                         from opentelemetry_collector_spark.operators.debugfmt import (
@@ -574,7 +590,7 @@ def run(
                             out_df,
                             sampling_initial=si,
                             sampling_thereafter=int(
-                                opts.get("sampling_thereafter", 1)
+                                opts.get("sampling_thereafter", 500)
                             ),
                             granularity=opts.get("sampling_granularity", "second"),
                         )

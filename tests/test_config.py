@@ -313,3 +313,26 @@ def test_debug_exporter_sampling_from_config(spark, sf_dir, tmp_path):
     assert counts["debug/s"] == expected
     assert counts["debug/all"] == parsed.count()
     assert counts["debug/s"] < counts["debug/all"]
+
+
+def test_debug_sampling_thereafter_validated_at_load(spark, sf_dir):
+    """sampling_thereafter is a modulo divisor: 0 (or any non-positive /
+    non-integer value) must be rejected at config-load time with a
+    ConfigError, not surface as a runtime divide-by-zero; the reference
+    defaults it to 500 (debugexporter config.go:29-34)."""
+    import pytest
+
+    from opentelemetry_collector_spark.plans.config import ConfigError
+
+    for bad in (0, -2, "five"):
+        raw = _base(
+            {"logs": {"receivers": ["transcripts"], "processors": [],
+                      "exporters": ["debug/s"]}}
+        )
+        raw["receivers"]["transcripts"]["sf_dir"] = str(sf_dir)
+        raw["exporters"]["debug/s"] = {
+            "verbosity": "normal", "sampling_initial": 2,
+            "sampling_thereafter": bad,
+        }
+        with pytest.raises(ConfigError, match="sampling_thereafter"):
+            ServiceConfig.from_dict(raw)
