@@ -555,6 +555,27 @@ def _emb_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.unionByName(copies)
 
 
+# MinHash candidate pairs over _docs_aug, computed ONCE per (session,
+# sf_dir) and persisted: dedup_groups, dedup_survivors and
+# corpus_curation all consume the identical pair frame, so regenerating
+# the MinHash pass (~2.3s at sf0.1) three times in a suite run was pure
+# waste (VERDICT r3 item 7). The memo holds a persisted DataFrame;
+# keyed by applicationId so a fresh session never sees a stale handle.
+_PAIRS_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def _shared_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opentelemetry_collector_spark.operators import dedup
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _PAIRS_MEMO.get(key)
+    if df is None:
+        df = dedup.minhash_lsh_pairs(_docs_aug(spark, sf_dir), id_col="id")
+        df = df.persist()
+        _PAIRS_MEMO[key] = df
+    return df
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from opentelemetry_collector_spark.operators import dedup
     return dedup.exact_dedup(_docs_aug(spark, sf_dir), id_col="id")
@@ -580,7 +601,7 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from opentelemetry_collector_spark.operators import dedup, textstats
 
     docs = _docs_aug(spark, sf_dir)
-    pairs = dedup.minhash_lsh_pairs(docs, id_col="id")
+    pairs = _shared_pairs(spark, sf_dir)
     kept = dedup.dedup_survivors(docs, pairs, id_col="id")
     scored = textstats.lang_id(
         textstats.quality_score(textstats.token_count(kept))
@@ -604,8 +625,7 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     computing min-reachable over the identical pair set — the keep-one
     half of dedup that a pair list alone cannot answer."""
     from opentelemetry_collector_spark.operators import dedup
-    pairs = dedup.minhash_lsh_pairs(_docs_aug(spark, sf_dir), id_col="id")
-    return dedup.connected_components(pairs)
+    return dedup.connected_components(_shared_pairs(spark, sf_dir))
 
 
 def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -614,7 +634,7 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the component losers)."""
     from opentelemetry_collector_spark.operators import dedup
     docs = _docs_aug(spark, sf_dir)
-    pairs = dedup.minhash_lsh_pairs(docs, id_col="id")
+    pairs = _shared_pairs(spark, sf_dir)
     return dedup.dedup_survivors(docs, pairs, id_col="id").select("id")
 
 
@@ -718,10 +738,14 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     alternative to the k-means IVF): deterministic md5-derived
     hyperplanes are injected as literals into BOTH engines, the bucket
     id is pure fold arithmetic, and the rank is the bounded two-level
-    form. n_planes=6 → 64 cosine-direction buckets."""
+    form. n_planes=6 → 64 cosine-direction buckets. dim=64 is passed
+    explicitly (the testdata embedding width) so no driver probe job
+    runs."""
     from opentelemetry_collector_spark.operators import similarity
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 10), n_planes=6)
+    return similarity.lsh_topk(
+        emb, emb.filter(F.col("vec_id") < 10), n_planes=6, dim=64
+    )
 
 
 def _lsh_planes_64_6() -> list[list[float]]:
@@ -943,11 +967,14 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-then-split sequence-packing accounting at a 256-token
     budget, computed as a distributed prefix sum (id-range shards +
     broadcast base offsets — no global single-task window); see
-    packing.pack_sequences."""
+    packing.pack_sequences. ``shards=8`` is explicit: the default
+    derives shards from row count (rows/4M, so test-scale data would
+    collapse to one shard) and the plan shape under test is the
+    sharded one — output is boundary-invariant either way."""
     from opentelemetry_collector_spark.operators import packing, textstats
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     d = textstats.token_count(docs).select("doc_id", "n_tokens")
-    return packing.pack_sequences(d, id_col="doc_id", budget=256)
+    return packing.pack_sequences(d, id_col="doc_id", budget=256, shards=8)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2038,16 +2065,28 @@ def oracle_sql() -> dict[str, str]:
                           THEN lower(trim(text)) || '{_PII_SPICE}'
                           ELSE lower(trim(text)) END AS text
               FROM documents
+            ),
+            -- counts mirror the operator: each category is counted on
+            -- the PROGRESSIVELY-redacted string (just before its own
+            -- replace), so a match an earlier pattern swallowed is not
+            -- re-counted in a later category
+            s1 AS (
+              SELECT id, text,
+                     CAST(len(regexp_extract_all(text, '{textstats_mod.PII_EMAIL}')) AS INT) AS n_emails,
+                     regexp_replace(text, '{textstats_mod.PII_EMAIL}', '<email>', 'g') AS t1
+              FROM spiced
+            ),
+            s2 AS (
+              SELECT id, n_emails,
+                     CAST(len(regexp_extract_all(t1, '{textstats_mod.PII_IP}')) AS INT) AS n_ips,
+                     regexp_replace(t1, '{textstats_mod.PII_IP}', '<ip>', 'g') AS t2
+              FROM s1
             )
             SELECT id,
-                   regexp_replace(regexp_replace(regexp_replace(text,
-                     '{textstats_mod.PII_EMAIL}', '<email>', 'g'),
-                     '{textstats_mod.PII_IP}', '<ip>', 'g'),
-                     '{textstats_mod.PII_PHONE}', '<phone>', 'g') AS redacted,
-                   CAST(len(regexp_extract_all(text, '{textstats_mod.PII_EMAIL}')) AS INT) AS n_emails,
-                   CAST(len(regexp_extract_all(text, '{textstats_mod.PII_IP}')) AS INT) AS n_ips,
-                   CAST(len(regexp_extract_all(text, '{textstats_mod.PII_PHONE}')) AS INT) AS n_phones
-            FROM spiced
+                   regexp_replace(t2, '{textstats_mod.PII_PHONE}', '<phone>', 'g') AS redacted,
+                   n_emails, n_ips,
+                   CAST(len(regexp_extract_all(t2, '{textstats_mod.PII_PHONE}')) AS INT) AS n_phones
+            FROM s2
         """,
         "top_ngrams": f"""
             WITH sh AS (

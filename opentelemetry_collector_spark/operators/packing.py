@@ -74,12 +74,41 @@ def chunk_documents(
     )
 
 
+# Quantile sketch precision for shard boundaries. NEVER 0: relativeError=0
+# makes approxQuantile compute EXACT quantiles, whose Greenwald-Khanna
+# summary state grows with distinct ids — an unbounded-memory pass at
+# 100 TB. Packing output is invariant to boundary placement (any
+# contiguous partition of the id axis yields the same prefix sums), so a
+# sketch is free correctness-wise; 1e-3 keeps shards within ~0.1% of
+# row-balanced.
+QUANTILE_EPS = 1e-3
+
+# Target rows per shard when ``shards`` is not given. Each shard is one
+# window partition = one task's working set, so this bounds per-task
+# memory; ~4M (id, n_tokens, prefix) rows is well under executor heap.
+ROWS_PER_SHARD = 4_000_000
+
+# Upper bound on derived shard count: the per-shard totals are collected
+# driver-side (one tiny row each), so keep that collect bounded too.
+MAX_SHARDS = 65_536
+
+
+def derive_shards(n_rows: int, rows_per_shard: int = ROWS_PER_SHARD) -> int:
+    """Shard count scaling with input size: ceil(n / rows_per_shard),
+    clamped to [1, MAX_SHARDS]. At 10^12 rows this yields 250k→capped
+    65k shards of ~15M rows — still bounded window partitions and a
+    bounded driver-side totals collect."""
+    if n_rows <= 0:
+        return 1
+    return max(1, min(MAX_SHARDS, -(-n_rows // rows_per_shard)))
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str = "id",
     token_col: str = "n_tokens",
     budget: int = 512,
-    shards: int = 32,
+    shards: int | None = None,
 ) -> DataFrame:
     """Concat-then-split packing accounting: documents are laid end to
     end in id order and cut into fixed ``budget``-token training
@@ -89,24 +118,31 @@ def pack_sequences(
     masking-aware loader needs).
 
     The global offset is a distributed prefix sum over contiguous
-    id-range shards. Shard boundaries are EXACT id quantiles
-    (approxQuantile at relativeError 0), so shards are row-count
-    balanced even for sparse or clustered id spaces (a fixed
-    value-width shard would collapse a dense id cluster into one
-    unbounded window partition). The output is invariant to boundary
-    placement — any contiguous partition of the id axis yields the
-    same prefix sums — so the quantile sketch is a performance choice,
-    never a semantics choice. Each shard computes a local running sum
-    in a bounded window; the per-shard totals — ``shards`` rows — are
-    cumulated on the driver and joined back as base offsets. No global
-    single-task window anywhere; the windowed intermediate is persisted
-    (released via dedup.release_cached) so the totals pass and the
-    final projection share one computation."""
+    id-range shards. Shard boundaries are approximate id quantiles
+    (relativeError ``QUANTILE_EPS`` — see that constant for why exact
+    quantiles are a scale hazard), so shards are row-count balanced
+    even for sparse or clustered id spaces (a fixed value-width shard
+    would collapse a dense id cluster into one unbounded window
+    partition). The output is invariant to boundary placement — any
+    contiguous partition of the id axis yields the same prefix sums —
+    so the quantile sketch is a performance choice, never a semantics
+    choice. ``shards`` defaults to ``derive_shards(count)`` so the
+    per-shard window partition stays bounded as the corpus grows
+    instead of holding corpus/32 rows in one task. Each shard computes
+    a local running sum in a bounded window; the per-shard totals —
+    ``shards`` rows — are cumulated on the driver and joined back as
+    base offsets. No global single-task window anywhere; the windowed
+    intermediate is persisted (released via dedup.release_cached) so
+    the totals pass and the final projection share one computation."""
     from opentelemetry_collector_spark.operators.dedup import _persist
 
+    if shards is None:
+        shards = derive_shards(df.count())
     probs = [i / shards for i in range(1, shards)]
     bounds = (
-        sorted(set(df.stat.approxQuantile(id_col, probs, 0.0))) if probs else []
+        sorted(set(df.stat.approxQuantile(id_col, probs, QUANTILE_EPS)))
+        if probs
+        else []
     )
     shard = F.lit(0).cast("bigint")
     for b in bounds:

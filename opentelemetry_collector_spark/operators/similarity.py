@@ -529,29 +529,25 @@ def lsh_topk(
     bounded-rank machinery as :func:`ivf_topk`; the recall/cost knob is
     ``n_planes`` (fewer planes = bigger buckets = higher recall), and
     ``max_cell`` sheds degenerate buckets exactly like the IVF probe.
-    ``dim`` defaults to the corpus's actual vector length (one tiny
-    driver probe over the first NON-NULL vector); passing a WRONG dim
-    would NULL every dot product via zip_with padding and silently
-    return nothing, and an all-NULL/empty corpus has no derivable dim —
-    both raise instead of degrading silently."""
-    probe = (
-        corpus.select(F.col(vec_col).alias("_v"))
-        .filter(F.col("_v").isNotNull())
-        .first()
-    )
-    if probe is None:
-        raise ValueError(
-            f"lsh_topk: corpus has no non-null {vec_col!r} vectors — "
-            "cannot derive a hyperplane dimension"
-        )
-    actual_dim = len(probe[0])
+    Callers that know the vector length pass ``dim`` explicitly and
+    skip the probe job entirely; only when ``dim`` is None does one
+    tiny driver probe over the first NON-NULL vector derive it (an
+    all-NULL/empty corpus has no derivable dim — that raises instead of
+    degrading silently; note a caller-supplied WRONG dim would NULL
+    every dot product via zip_with padding, so pass it only when
+    known)."""
     if dim is None:
-        dim = actual_dim
-    elif dim != actual_dim:
-        raise ValueError(
-            f"lsh_topk: dim={dim} but corpus vectors have length "
-            f"{actual_dim}; a mismatch NULLs every bucket id"
+        probe = (
+            corpus.select(F.col(vec_col).alias("_v"))
+            .filter(F.col("_v").isNotNull())
+            .first()
         )
+        if probe is None:
+            raise ValueError(
+                f"lsh_topk: corpus has no non-null {vec_col!r} vectors — "
+                "cannot derive a hyperplane dimension"
+            )
+        dim = len(probe[0])
     planes = lsh_planes(dim, n_planes)
     bucket = lsh_bucket_expr(_as_double(F.col(vec_col)), planes)
     return ivf_topk(

@@ -165,12 +165,19 @@ def redact_pii(
     Pure chained regexp_replace / regexp_extract_all column work — one
     codegen'd pass over the text, no shuffle, scan speed at 100 TB.
     Patterns are module constants shared character-for-character with
-    the DuckDB oracle."""
-    t = F.col(text_col)
-    red = t
+    the DuckDB oracle.
+
+    Each category is counted against the PROGRESSIVELY-redacted string
+    (the value just before that pattern's own replace), not the
+    original text, so a match swallowed by an earlier pattern (e.g. an
+    IP-shaped substring inside an email's domain that the email pass
+    already replaced) is never counted in a category that did not
+    actually redact it — the counts sum to the number of replacements
+    performed."""
+    red = F.col(text_col)
     counts = {}
     for name, pat, token in PII_PATTERNS:
-        counts[f"n_{name}s"] = F.size(F.regexp_extract_all(t, F.lit(pat), 0))
+        counts[f"n_{name}s"] = F.size(F.regexp_extract_all(red, F.lit(pat), 0))
         red = F.regexp_replace(red, pat, token)
     return df.select(
         F.col(id_col),

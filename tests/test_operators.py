@@ -248,6 +248,47 @@ def test_pack_sequences_matches_serial_scan(spark):
             off += n
 
 
+def test_pack_sequences_no_exact_quantile_and_derived_shards(spark):
+    """Scale hygiene: the shard-boundary quantile pass must use a
+    nonzero relativeError (exact mode's summary state grows with
+    distinct ids), and the default shard count must scale with input
+    size instead of a fixed 32."""
+    from opentelemetry_collector_spark.operators import packing
+
+    assert packing.QUANTILE_EPS > 0
+    # derived count grows with rows and is clamped at both ends
+    assert packing.derive_shards(0) == 1
+    assert packing.derive_shards(1) == 1
+    assert packing.derive_shards(packing.ROWS_PER_SHARD) == 1
+    assert packing.derive_shards(packing.ROWS_PER_SHARD + 1) == 2
+    assert packing.derive_shards(10 * packing.ROWS_PER_SHARD) == 10
+    assert packing.derive_shards(10**12) == packing.MAX_SHARDS
+
+    # the runtime call path must pass QUANTILE_EPS, never 0 (exact)
+    rows = [(i, 1 + i % 5) for i in range(50)]
+    df = spark.createDataFrame(rows, "id bigint, n_tokens bigint")
+    seen = []
+    orig = type(df.stat).approxQuantile
+
+    def spy(self, col, probs, eps):
+        seen.append(eps)
+        return orig(self, col, probs, eps)
+
+    type(df.stat).approxQuantile = spy
+    try:
+        out = {
+            r["id"]: r["start_offset"]
+            for r in packing.pack_sequences(df, budget=20, shards=3).collect()
+        }
+    finally:
+        type(df.stat).approxQuantile = orig
+    assert seen == [packing.QUANTILE_EPS]
+    off = 0
+    for i, n in rows:
+        assert out[i] == off
+        off += n
+
+
 def test_pack_sequences_sparse_ids_stay_balanced(spark):
     """Augmented-style sparse ids (a dense base cluster plus +1M
     copies) must neither skew the shards (quantile boundaries are
