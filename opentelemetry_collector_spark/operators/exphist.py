@@ -1,0 +1,119 @@
+"""Exponential-bucket (base-2) histogram aggregation — the OTLP
+ExponentialHistogram data point computed from raw values (SURVEY §2
+metrics breadth; pdata/pmetric/generated_metric.go:96-193 models the
+type, opentelemetry-proto metrics/v1 defines the bucket mapping).
+
+Mapping (public OTel spec): with scale ``s`` the bucket base is
+``2^(2^-s)`` and a positive value ``v`` lands in the index ``i``
+satisfying ``base^i < v <= base^(i+1)`` — i.e.
+``i = ceil(log2(v) * 2^s) - 1``. Zero values (|v| <= zero_threshold)
+go to the zero bucket; negative values mirror into negative-sign
+buckets. Larger scale = finer buckets; scale 0 = plain powers of two.
+
+Engine parity: the index expression is ``ceil(round(log2(v)*2^s, 9))-1``
+in BOTH Spark and the DuckDB oracle — the 9-digit round collapses
+sub-ULP differences between the engines' ``ln`` implementations so the
+bucket assignment is bit-stable cross-engine (values at exact bucket
+boundaries are powers of two whose log2 is exact anyway).
+
+Scale shape: one partial-aggregated groupBy on (group, sign, index) —
+a map-side-combined shuffle whose cardinality is groups × occupied
+buckets (bounded: ~160 buckets span float range at scale 2), then the
+summary row set is tiny. Scan-speed at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bucket_index(value, scale: int):
+    """Column: exponential bucket index of a positive value (see module
+    docstring for the cross-engine rounding contract)."""
+    return (
+        F.ceil(
+            F.round(F.log2(value) * F.lit(float(2 ** scale)), 9)
+        ).cast("bigint")
+        - F.lit(1)
+    )
+
+
+def exponential_histogram(
+    df: DataFrame,
+    value_col: str,
+    scale: int = 2,
+    group_cols: tuple[str, ...] = ("tool",),
+) -> DataFrame:
+    """Aggregate raw values into an exponential histogram: one row per
+    (group, sign, bucket index) with count plus the rounded bucket
+    bounds, zero bucket as sign 0 / index NULL. NULL values are ignored
+    (match the reference: a data point without the value is absent).
+
+    Columns: group_cols…, sign (int: -1/0/1), idx (bigint, NULL for the
+    zero bucket), n (count), lo, hi (double, round-6 bucket bounds,
+    NULL for the zero bucket).
+    """
+    v = F.col(value_col)
+    sign = (
+        F.when(v > 0, F.lit(1)).when(v < 0, F.lit(-1)).otherwise(F.lit(0))
+    )
+    idx = (
+        F.when(v > 0, bucket_index(v, scale))
+        .when(v < 0, bucket_index(-v, scale))
+        .otherwise(F.lit(None).cast("bigint"))
+    )
+    base_log2 = float(2 ** -scale)  # log2(base)
+    lo = F.round(F.pow(F.lit(2.0), F.col("idx") * F.lit(base_log2)), 6)
+    hi = F.round(
+        F.pow(F.lit(2.0), (F.col("idx") + 1) * F.lit(base_log2)), 6
+    )
+    return (
+        df.filter(v.isNotNull())
+        .select(*group_cols, sign.alias("sign"), idx.alias("idx"))
+        .groupBy(*group_cols, "sign", "idx")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            *group_cols,
+            "sign",
+            "idx",
+            "n",
+            F.when(F.col("idx").isNotNull(), lo).alias("lo"),
+            F.when(F.col("idx").isNotNull(), hi).alias("hi"),
+        )
+    )
+
+
+def exponential_histogram_sql(
+    table_expr: str,
+    value_col: str,
+    scale: int = 2,
+    group_cols: tuple[str, ...] = ("tool",),
+) -> str:
+    """The DuckDB oracle twin — same index arithmetic, same rounding,
+    same output columns (shared so the query and oracle can never
+    drift)."""
+    g = ", ".join(group_cols)
+    mul = float(2 ** scale)
+    blog2 = float(2 ** -scale)
+    idx_pos = f"CAST(ceil(round(log2({value_col}) * {mul!r}, 9)) AS BIGINT) - 1"
+    idx_neg = f"CAST(ceil(round(log2(-({value_col})) * {mul!r}, 9)) AS BIGINT) - 1"
+    return f"""
+        WITH ehist_pts AS (
+          SELECT {g},
+                 CASE WHEN {value_col} > 0 THEN 1
+                      WHEN {value_col} < 0 THEN -1 ELSE 0 END AS sign,
+                 CASE WHEN {value_col} > 0 THEN {idx_pos}
+                      WHEN {value_col} < 0 THEN {idx_neg}
+                      ELSE NULL END AS idx
+          FROM {table_expr}
+          WHERE {value_col} IS NOT NULL
+        )
+        SELECT {g}, sign, idx, count(*) AS n,
+               CASE WHEN idx IS NOT NULL
+                    THEN round(pow(2.0, idx * {blog2!r}), 6) END AS lo,
+               CASE WHEN idx IS NOT NULL
+                    THEN round(pow(2.0, (idx + 1) * {blog2!r}), 6) END AS hi
+        FROM ehist_pts
+        GROUP BY {g}, sign, idx
+    """
