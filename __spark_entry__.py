@@ -27,6 +27,7 @@ from opentelemetry_collector_spark.operators import enrich as enrich_ops
 from opentelemetry_collector_spark.operators import filters as filter_ops
 from opentelemetry_collector_spark.operators import parse as parse_ops
 from opentelemetry_collector_spark.operators import route as route_ops
+from opentelemetry_collector_spark.operators import exphist as exphist_mod
 from opentelemetry_collector_spark.operators import textstats as textstats_mod
 from opentelemetry_collector_spark.sources import (
     derive_transcripts,
@@ -166,27 +167,6 @@ def q_attrs_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_debug_normal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Debug-exporter normal verbosity: one rendered line per record (S5)."""
-    from opentelemetry_collector_spark.operators import debugfmt
-    return debugfmt.normal_lines(_parsed(spark, sf_dir))
-
-
-def q_debug_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Debug-exporter sampling (S5, config.go:29-34 sampling_initial /
-    sampling_thereafter): per event-time window keep the first 2
-    records then every 3rd, deterministic (conv_id, turn_idx) order —
-    the zap sampler replayed exactly, value-oracled. Hour windows here
-    (up to 30 records each at sf0.01) so the thereafter path is
-    genuinely exercised; the production default is per-second."""
-    from opentelemetry_collector_spark.operators import debugfmt
-
-    return debugfmt.sample_per_second(
-        _parsed(spark, sf_dir), sampling_initial=2, sampling_thereafter=3,
-        granularity="hour",
-    ).select("conv_id", "turn_idx", "severity_num")
-
-
 def q_render_asstring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Value.AsString renderers (P5): ES6 doubles, bools, base64 bytes."""
     from opentelemetry_collector_spark.functions import render
@@ -199,13 +179,6 @@ def q_render_asstring(spark: SparkSession, sf_dir: str) -> DataFrame:
         render.render_bool(F.col("parse_ok")).alias("ok_str"),
         render.render_bytes(F.unhex(F.md5(F.col("text")))).alias("digest_b64"),
     )
-
-
-def q_debug_detailed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Debug exporter detailed verbosity (S5): the otlptext field dump
-    per record (debugfmt.detailed_block)."""
-    from opentelemetry_collector_spark.operators import debugfmt
-    return debugfmt.detailed_block(_parsed(spark, sf_dir))
 
 
 def q_parse_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -866,31 +839,83 @@ def q_latency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consolidated per-document text analysis — token counting,
+    quality scoring, language ID and all three fingerprints in ONE
+    scan-speed pass (the four operators compose via withColumns, so
+    one query slot value-oracles all of them; replaces the former
+    token_count / quality_score / lang_id / fingerprint entries to fit
+    the driver's verification window)."""
     from opentelemetry_collector_spark.operators import textstats
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return textstats.token_count(docs).select("doc_id", "n_tokens", "n_subwords_est")
-
-
-def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from opentelemetry_collector_spark.operators import textstats
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return textstats.quality_score(docs).select(
-        "doc_id", "n_chars_norm", "n_tokens", "avg_word_len",
-        "punct_ratio", "stopword_ratio", "quality",
+    d = textstats.fingerprint(
+        textstats.lang_id(textstats.quality_score(textstats.token_count(docs)))
+    )
+    return d.select(
+        "doc_id", "n_tokens", "n_subwords_est", "n_chars_norm",
+        "avg_word_len", "punct_ratio", "stopword_ratio", "quality",
+        "lang", "lang_guess", "lang_guess_hits",
+        "fp_exact", "fp_bag", "fp_roll",
     )
 
 
-def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from opentelemetry_collector_spark.operators import textstats
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return textstats.lang_id(docs).select("doc_id", "lang", "lang_guess", "lang_guess_hits")
+def q_debug_exporter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consolidated debug exporter (S5): the zap-style sampler (first 2
+    per hour window then every 3rd) with BOTH rendered verbosities on
+    every kept record — normal one-liner and detailed otlptext block —
+    so one query slot value-oracles sampling + both marshalers
+    (replaces the former debug_normal / debug_detailed / debug_sampled
+    entries to fit the driver's verification window)."""
+    from opentelemetry_collector_spark.operators import debugfmt
+
+    sampled = debugfmt.sample_per_second(
+        _parsed(spark, sf_dir), sampling_initial=2, sampling_thereafter=3,
+        granularity="hour",
+    )
+    return sampled.select(
+        "conv_id", "turn_idx", "severity_num",
+        debugfmt.line_expr().alias("line"),
+        debugfmt.block_expr().alias("block"),
+    )
 
 
-def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from opentelemetry_collector_spark.operators import textstats
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return textstats.fingerprint(docs).select("doc_id", "fp_exact", "fp_bag", "fp_roll")
+def q_proto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OTLP protobuf wire round trip (S1/S2 wire story,
+    pdata/plog/pb.go:8-25): encode parsed turns into canonical LogsData
+    proto bytes (sources/otlp_proto.encode_logs_proto), decode with the
+    generic wire walker, flatten back to records. The oracle is the
+    identity computation from the raw transcripts, so a value-hash
+    match proves decode(encode(x)) == x record-for-record;
+    byte-level canonical form is pinned by golden-vector tests."""
+    from opentelemetry_collector_spark.sources import otlp_proto as opb
+
+    env = opb.encode_logs_proto(_parsed(spark, sf_dir))
+    flat = opb.decode_logs_proto(env, carry=["conv_id"])
+    return flat.select(
+        "conv_id",
+        "scope_name",
+        "turn_idx",
+        "ts_unix_nano",
+        "severity_number",
+        "severity_text",
+        "body_text",
+        "event_name",
+        (F.col("res_conv") == F.col("conv_id")).alias("roundtrip_ok"),
+    )
+
+
+def q_exp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential-bucket histogram (base-2, scale 2) of latency_ms per
+    tool — the OTLP ExponentialHistogram data-point aggregation
+    (pmetric/generated_metric.go:96-193) over the log-derived latency;
+    one partial-aggregated shuffle, bucket math shared character-level
+    with the DuckDB twin (operators/exphist.py)."""
+    from opentelemetry_collector_spark.operators import exphist
+
+    d = _parsed(spark, sf_dir).select(
+        F.col("tool_parsed").alias("tool"), "latency_ms"
+    )
+    return exphist.exponential_histogram(d, "latency_ms", scale=2)
 
 
 def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -978,23 +1003,61 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry ORDER IS THE VERIFICATION SCHEDULE: the driver checks
+    the first 50 entries against the DuckDB oracles each round, so
+    entries are ranked by verification need (round-3 verdict item 1) —
+
+    1. entries with no driver-green row yet (new or changed this
+       round, or never inside a previous round's window), then
+    2. everything else changed/renamed recently, then
+    3. the long-stable core (green in BOTH r2 and r3, untouched
+       since) — these sit past position 50, where skipping costs the
+       least because their last driver rows still describe the
+       current code.
+
+    The former debug_normal/debug_detailed/debug_sampled and
+    token_count/quality_score/lang_id/fingerprint entries are
+    consolidated into debug_exporter and text_metrics (same operators,
+    all columns, one slot each) so the whole contract fits the window
+    with only the double-green core past it.
+    """
     return {
-        "transcripts": q_transcripts,
-        "parse": q_parse,
-        "enrich": q_enrich,
-        "filter_strict": q_filter_strict,
-        "filter_regex": q_filter_regex,
-        "sample": q_sample,
-        "route": q_route,
-        "sink_counts": q_sink_counts,
-        "agg_hourly": q_agg_hourly,
-        "severity_hist": q_severity_hist,
-        "metadata_shards": q_metadata_shards,
+        # -- never driver-verified (r3 window miss) or changed in r4 --
+        "embedding_quantize": q_embedding_quantize,
+        "ann_quantized_recall": q_ann_quantized_recall,
+        "repetition": q_repetition,
+        "decontaminate": q_decontaminate,
+        "redact_pii": q_redact_pii,
+        "top_ngrams": q_top_ngrams,
+        "chunk_docs": q_chunk_docs,
+        "pack_sequences": q_pack_sequences,
+        # -- new / consolidated in r4 --
+        "text_metrics": q_text_metrics,
+        "debug_exporter": q_debug_exporter,
+        "proto_roundtrip": q_proto_roundtrip,
+        "exp_histogram": q_exp_histogram,
+        # -- last driver row predates r3 or code changed in r4 --
+        "dedup_embedding_kmeans": q_dedup_embedding_kmeans,
+        "corpus_curation": q_corpus_curation,
+        "dedup_groups": q_dedup_groups,
+        "dedup_survivors": q_dedup_survivors,
+        "ann_lsh": q_ann_lsh,
+        # -- r3-green, re-checked while the window allows --
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding": q_dedup_embedding,
+        "ann_topk": q_ann_topk,
+        "ann_ivf": q_ann_ivf,
+        "ann_recall": q_ann_recall,
+        "ann_ivf_kmeans": q_ann_ivf_kmeans,
+        "ann_ivf_probe2": q_ann_ivf_probe2,
+        "kmeans_cells": q_kmeans_cells,
+        "kmeans_cells_sampled": q_kmeans_cells_sampled,
+        "latency_histogram": q_latency_histogram,
         "attr_ops": q_attr_ops,
         "attrs_json": q_attrs_json,
-        "debug_normal": q_debug_normal,
-        "debug_detailed": q_debug_detailed,
-        "debug_sampled": q_debug_sampled,
         "render_asstring": q_render_asstring,
         "parse_errors": q_parse_errors,
         "otlp_json": q_otlp_json,
@@ -1012,36 +1075,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_sliding": q_window_sliding,
         "window_session": q_window_session,
         "top_convs": q_top_convs,
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_groups": q_dedup_groups,
-        "corpus_curation": q_corpus_curation,
-        "dedup_survivors": q_dedup_survivors,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_embedding": q_dedup_embedding,
-        "ann_topk": q_ann_topk,
-        "ann_ivf": q_ann_ivf,
-        "ann_recall": q_ann_recall,
-        "latency_histogram": q_latency_histogram,
-        "kmeans_cells": q_kmeans_cells,
-        "kmeans_cells_sampled": q_kmeans_cells_sampled,
-        "ann_ivf_kmeans": q_ann_ivf_kmeans,
-        "ann_ivf_probe2": q_ann_ivf_probe2,
-        "ann_lsh": q_ann_lsh,
-        "embedding_quantize": q_embedding_quantize,
-        "ann_quantized_recall": q_ann_quantized_recall,
-        "dedup_embedding_kmeans": q_dedup_embedding_kmeans,
-        "token_count": q_token_count,
-        "quality_score": q_quality_score,
-        "lang_id": q_lang_id,
-        "fingerprint": q_fingerprint,
-        "repetition": q_repetition,
-        "decontaminate": q_decontaminate,
-        "redact_pii": q_redact_pii,
-        "top_ngrams": q_top_ngrams,
-        "chunk_docs": q_chunk_docs,
-        "pack_sequences": q_pack_sequences,
+        "metadata_shards": q_metadata_shards,
+        # -- past the 50-entry window: double-green (r2 AND r3) and
+        #    untouched since; their last driver rows describe this code
+        "transcripts": q_transcripts,
+        "parse": q_parse,
+        "enrich": q_enrich,
+        "filter_strict": q_filter_strict,
+        "filter_regex": q_filter_regex,
+        "sample": q_sample,
+        "route": q_route,
+        "sink_counts": q_sink_counts,
+        "agg_hourly": q_agg_hourly,
+        "severity_hist": q_severity_hist,
     }
 
 
@@ -1174,59 +1220,51 @@ def oracle_sql() -> dict[str, str]:
                      '"tool":"' || tool_parsed || '"') || '}}' AS attrs_json
             FROM parsed
         """,
-        "debug_normal": f"""
-            {p}
-            SELECT conv_id, turn_idx, concat_ws(' ', text,
-              'seq=' || CAST(seq AS VARCHAR),
-              'event_kind=' || nullif(event_kind, ''),
-              'status=' || CAST(status_code AS VARCHAR),
-              'latency_ms=' || (CASE
-                 WHEN latency_ms IS NULL THEN NULL
-                 WHEN latency_ms = floor(latency_ms)
-                   THEN CAST(CAST(latency_ms AS BIGINT) AS VARCHAR)
-                 ELSE CAST(latency_ms AS VARCHAR) END),
-              'bytes=' || CAST(bytes AS VARCHAR),
-              'msg=' || msg,
-              'tool=' || tool_parsed) AS line
-            FROM parsed
-        """,
-        "debug_sampled": f"""
+        "debug_exporter": f"""
             {p},
             ranked AS (
-              SELECT conv_id, turn_idx, severity_num,
+              SELECT *,
                      row_number() OVER (
                        PARTITION BY date_trunc('hour', ts)
                        ORDER BY conv_id, turn_idx) AS rn
               FROM parsed
             )
-            SELECT conv_id, turn_idx, severity_num FROM ranked
+            SELECT conv_id, turn_idx, severity_num,
+              concat_ws(' ', text,
+                'seq=' || CAST(seq AS VARCHAR),
+                'event_kind=' || nullif(event_kind, ''),
+                'status=' || CAST(status_code AS VARCHAR),
+                'latency_ms=' || (CASE
+                   WHEN latency_ms IS NULL THEN NULL
+                   WHEN latency_ms = floor(latency_ms)
+                     THEN CAST(CAST(latency_ms AS BIGINT) AS VARCHAR)
+                   ELSE CAST(latency_ms AS VARCHAR) END),
+                'bytes=' || CAST(bytes AS VARCHAR),
+                'msg=' || msg,
+                'tool=' || tool_parsed) AS line,
+              concat_ws(chr(10),
+                'LogRecord',
+                'Timestamp: ' || strftime(ts, '%Y-%m-%d %H:%M:%S'),
+                'SeverityText: ' ||
+                  CASE WHEN severity_num = 17 THEN 'ERROR'
+                       WHEN severity_num = 13 THEN 'WARN'
+                       WHEN severity_num = 9 THEN 'INFO' ELSE '' END,
+                'SeverityNumber: ' ||
+                  CASE WHEN severity_num = 17 THEN 'Error'
+                       WHEN severity_num = 13 THEN 'Warn'
+                       WHEN severity_num = 9 THEN 'Info'
+                       ELSE 'Unspecified' END ||
+                  '(' || CAST(severity_num AS VARCHAR) || ')',
+                CASE WHEN nullif(event_kind, '') IS NOT NULL
+                     THEN 'EventName: ' || event_kind END,
+                'Body: Str(' || text || ')',
+                'Attributes:',
+                '     -> msg: Str(' || msg || ')',
+                '     -> status: Str(' || CAST(status_code AS VARCHAR) || ')',
+                '     -> tool: Str(' || tool_parsed || ')'
+              ) AS block
+            FROM ranked
             WHERE rn <= 2 OR (rn - 2) % 3 = 0
-        """,
-        "debug_detailed": f"""
-            {p}
-            SELECT conv_id, turn_idx,
-                   concat_ws(chr(10),
-                     'LogRecord',
-                     'Timestamp: ' || strftime(ts, '%Y-%m-%d %H:%M:%S'),
-                     'SeverityText: ' ||
-                       CASE WHEN severity_num = 17 THEN 'ERROR'
-                            WHEN severity_num = 13 THEN 'WARN'
-                            WHEN severity_num = 9 THEN 'INFO' ELSE '' END,
-                     'SeverityNumber: ' ||
-                       CASE WHEN severity_num = 17 THEN 'Error'
-                            WHEN severity_num = 13 THEN 'Warn'
-                            WHEN severity_num = 9 THEN 'Info'
-                            ELSE 'Unspecified' END ||
-                       '(' || CAST(severity_num AS VARCHAR) || ')',
-                     CASE WHEN nullif(event_kind, '') IS NOT NULL
-                          THEN 'EventName: ' || event_kind END,
-                     'Body: Str(' || text || ')',
-                     'Attributes:',
-                     '     -> msg: Str(' || msg || ')',
-                     '     -> status: Str(' || CAST(status_code AS VARCHAR) || ')',
-                     '     -> tool: Str(' || tool_parsed || ')'
-                   ) AS block
-            FROM parsed
         """,
         "render_asstring": f"""
             {p}
@@ -1370,6 +1408,31 @@ def oracle_sql() -> dict[str, str]:
             '{"stringValue":"VARCHAR"},"eventName":"VARCHAR","attributes":'
             '[{"key":"VARCHAR","value":{"intValue":"VARCHAR"}}]}]}]}]}'
         ))),
+        # proto round trip: decode(encode(x)) == x, so the oracle is the
+        # identity computation from the raw transcripts — a value-hash
+        # match proves the wire pass is lossless record-for-record
+        # (canonical BYTES are pinned by golden vectors in
+        # tests/test_otlp_proto.py; DuckDB has no protobuf codec to
+        # cross-compute them)
+        "proto_roundtrip": f"""
+            {p}
+            SELECT conv_id,
+                   COALESCE(tool_parsed, 'none') AS scope_name,
+                   turn_idx,
+                   CAST(floor(epoch(ts)) AS BIGINT) * 1000000000 AS ts_unix_nano,
+                   severity_num AS severity_number,
+                   CASE WHEN severity_num = 17 THEN 'ERROR'
+                        WHEN severity_num = 13 THEN 'WARN'
+                        WHEN severity_num = 9 THEN 'INFO' ELSE '' END AS severity_text,
+                   text AS body_text,
+                   COALESCE(event_kind, '') AS event_name,
+                   TRUE AS roundtrip_ok
+            FROM parsed
+        """,
+        "exp_histogram": f"{p}" + exphist_mod.exponential_histogram_sql(
+            "(SELECT tool_parsed AS tool, latency_ms FROM parsed)",
+            "latency_ms", scale=2, lead=",",
+        ),
         "nested_attrs": f"""
             {p},
             vals AS (
@@ -1944,62 +2007,53 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, rank, nbr_id, cos FROM ranked WHERE rank <= 5
         """,
-        "token_count": f"""
-            SELECT doc_id,
-                   CAST(len({sqltext.WORDS_EXPR}) AS INT) AS n_tokens,
-                   CAST(ceil(length(lower(trim(text))) / 4.0) AS BIGINT) AS n_subwords_est
-            FROM documents
-        """,
-        "quality_score": f"""
-            SELECT doc_id, n_chars_norm, n_tokens,
-                   round(CAST(n_chars_norm AS DOUBLE) / n_tokens, 6) AS avg_word_len,
-                   round(CAST(punct AS DOUBLE) / n_chars_norm, 6) AS punct_ratio,
-                   round(CAST(stop_hits AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
-                   round(least(1.0, CAST(n_tokens AS DOUBLE) / 64.0) *
-                         (1.0 - round(CAST(punct AS DOUBLE) / n_chars_norm, 6)), 6) AS quality
-            FROM (
-              SELECT doc_id,
+        "text_metrics": f"""
+            WITH tm_base AS (
+              SELECT doc_id, lang, text, {sqltext.WORDS_EXPR} AS w
+              FROM documents
+            ),
+            tm_feat AS (
+              SELECT doc_id, lang, text, w,
                      CAST(length(lower(trim(text))) AS INT) AS n_chars_norm,
                      CAST(len(w) AS INT) AS n_tokens,
                      length(regexp_replace(lower(trim(text)), '[a-z0-9 ]', '', 'g')) AS punct,
                      len(list_filter(w, x -> x IN
-                       ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS stop_hits
-              FROM (SELECT doc_id, text, {sqltext.WORDS_EXPR} AS w FROM documents)
+                       ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS stop_hits,
+                     len(list_filter(w, x -> x IN ('the', 'of', 'and'))) AS h_en,
+                     len(list_filter(w, x -> x IN ('el', 'la', 'de'))) AS h_es,
+                     len(list_filter(w, x -> x IN ('der', 'die', 'und'))) AS h_de,
+                     len(list_filter(w, x -> x IN ('le', 'la', 'et'))) AS h_fr,
+                     len(list_filter(w, x -> x IN ('的', '是', '了'))) AS h_zh
+              FROM tm_base
+            ),
+            tm_m AS (
+              SELECT *, greatest(h_en, h_es, h_de, h_fr, h_zh) AS m
+              FROM tm_feat
             )
-        """,
-        "lang_id": f"""
-            SELECT doc_id, lang,
+            SELECT doc_id,
+                   n_tokens,
+                   CAST(ceil(length(lower(trim(text))) / 4.0) AS BIGINT) AS n_subwords_est,
+                   n_chars_norm,
+                   round(CAST(n_chars_norm AS DOUBLE) / n_tokens, 6) AS avg_word_len,
+                   round(CAST(punct AS DOUBLE) / n_chars_norm, 6) AS punct_ratio,
+                   round(CAST(stop_hits AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
+                   round(least(1.0, CAST(n_tokens AS DOUBLE) / 64.0) *
+                         (1.0 - round(CAST(punct AS DOUBLE) / n_chars_norm, 6)), 6) AS quality,
+                   lang,
                    CASE WHEN m = 0 THEN 'und'
                         WHEN h_en = m THEN 'en' WHEN h_es = m THEN 'es'
                         WHEN h_de = m THEN 'de' WHEN h_fr = m THEN 'fr'
                         ELSE 'zh' END AS lang_guess,
-                   CAST(m AS INT) AS lang_guess_hits
-            FROM (
-              SELECT doc_id, lang,
-                     greatest(h_en, h_es, h_de, h_fr, h_zh) AS m,
-                     h_en, h_es, h_de, h_fr, h_zh
-              FROM (
-                SELECT doc_id, lang,
-                       len(list_filter(w, x -> x IN ('the', 'of', 'and'))) AS h_en,
-                       len(list_filter(w, x -> x IN ('el', 'la', 'de'))) AS h_es,
-                       len(list_filter(w, x -> x IN ('der', 'die', 'und'))) AS h_de,
-                       len(list_filter(w, x -> x IN ('le', 'la', 'et'))) AS h_fr,
-                       len(list_filter(w, x -> x IN ('的', '是', '了'))) AS h_zh
-                FROM (SELECT doc_id, lang, {sqltext.WORDS_EXPR} AS w FROM documents)
-              )
-            )
-        """,
-        "fingerprint": f"""
-            SELECT doc_id,
+                   CAST(m AS INT) AS lang_guess_hits,
                    md5(lower(trim(text))) AS fp_exact,
-                   md5(array_to_string(list_sort(list_distinct({sqltext.WORDS_EXPR})), ' ')) AS fp_bag,
+                   md5(array_to_string(list_sort(list_distinct(w)), ' ')) AS fp_bag,
                    list_reduce(
                      list_prepend(CAST(0 AS BIGINT),
-                       list_transform({sqltext.WORDS_EXPR}, x ->
+                       list_transform(w, x ->
                          CAST(concat('0x', substring(md5(x), 1, 8)) AS BIGINT)
                            % 2147483647)),
                      (acc, x) -> (acc * 1000003 + x) % 2147483647) AS fp_roll
-            FROM documents
+            FROM tm_m
         """,
         "repetition": f"""
             WITH g AS (

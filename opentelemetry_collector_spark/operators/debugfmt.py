@@ -35,13 +35,14 @@ def _frag(key: str, value: Column) -> Column:
 _SEV_NAMES = {9: "Info", 13: "Warn", 17: "Error"}
 
 
-def detailed_block(parsed: DataFrame) -> DataFrame:
-    """Detailed verbosity: one multi-line block per record, the otlptext
-    marshaler's field dump (exporter/debugexporter/internal/otlptext/
-    logs.go:35-50 — Timestamp / SeverityText / SeverityNumber name(n) /
-    EventName when set / Body: Str(...) / indented attribute lines).
-    Timestamps render ISO (engine-native) rather than Go's time format;
-    field order and presence rules follow the reference."""
+def block_expr() -> Column:
+    """Detailed-verbosity block as a Column over parsed-stage names —
+    shared by detailed_block and the merged debug_exporter query (the
+    otlptext marshaler's field dump, exporter/debugexporter/internal/
+    otlptext/logs.go:35-50 — Timestamp / SeverityText / SeverityNumber
+    name(n) / EventName when set / Body: Str(...) / indented attribute
+    lines). Timestamps render ISO (engine-native) rather than Go's time
+    format; field order and presence rules follow the reference."""
     sev_name = F.lit("Unspecified")
     for n, nm in _SEV_NAMES.items():
         sev_name = F.when(F.col("severity_num") == n, F.lit(nm)).otherwise(sev_name)
@@ -74,12 +75,19 @@ def detailed_block(parsed: DataFrame) -> DataFrame:
         attr_line("status", F.col("status_code").cast("string")),
         attr_line("tool", F.col("tool_parsed")),
     )
-    return parsed.select("conv_id", "turn_idx", block.alias("block"))
+    return block
 
 
-def normal_lines(parsed: DataFrame) -> DataFrame:
-    """parsed transcripts → (conv_id, turn_idx, line)."""
-    line = F.concat_ws(
+def detailed_block(parsed: DataFrame) -> DataFrame:
+    """Detailed verbosity: one multi-line block per record (see
+    block_expr)."""
+    return parsed.select("conv_id", "turn_idx", block_expr().alias("block"))
+
+
+def line_expr() -> Column:
+    """Normal-verbosity line as a Column over parsed-stage names —
+    shared by normal_lines and the merged debug_exporter query."""
+    return F.concat_ws(
         " ",
         F.col("text"),
         _frag("seq", F.col("seq").cast("string")),
@@ -92,7 +100,11 @@ def normal_lines(parsed: DataFrame) -> DataFrame:
         _frag("msg", F.col("msg")),
         _frag("tool", F.col("tool_parsed")),
     )
-    return parsed.select("conv_id", "turn_idx", line.alias("line"))
+
+
+def normal_lines(parsed: DataFrame) -> DataFrame:
+    """parsed transcripts → (conv_id, turn_idx, line)."""
+    return parsed.select("conv_id", "turn_idx", line_expr().alias("line"))
 
 
 def sample_per_second(

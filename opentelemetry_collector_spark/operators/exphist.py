@@ -89,17 +89,19 @@ def exponential_histogram_sql(
     value_col: str,
     scale: int = 2,
     group_cols: tuple[str, ...] = ("tool",),
+    lead: str = "WITH",
 ) -> str:
     """The DuckDB oracle twin — same index arithmetic, same rounding,
     same output columns (shared so the query and oracle can never
-    drift)."""
+    drift). Pass ``lead=','`` to splice into an existing WITH chain
+    (``table_expr`` may then reference that chain's CTEs)."""
     g = ", ".join(group_cols)
     mul = float(2 ** scale)
     blog2 = float(2 ** -scale)
     idx_pos = f"CAST(ceil(round(log2({value_col}) * {mul!r}, 9)) AS BIGINT) - 1"
     idx_neg = f"CAST(ceil(round(log2(-({value_col})) * {mul!r}, 9)) AS BIGINT) - 1"
     return f"""
-        WITH ehist_pts AS (
+        {lead} ehist_pts AS (
           SELECT {g},
                  CASE WHEN {value_col} > 0 THEN 1
                       WHEN {value_col} < 0 THEN -1 ELSE 0 END AS sign,

@@ -58,7 +58,10 @@ class ConfigError(ValueError):
 #  confmap/provider/fileprovider)
 # ---------------------------------------------------------------------------
 
-_REF_RE = re.compile(r"\$\$|\$\{([^${}]+)\}")
+# a reference body may contain ONE level of braces (yaml flow maps:
+# ``${yaml:{timeout: 2s}}``); deeper nesting is rejected like the
+# reference's resolver rejects unbalanced URIs
+_REF_RE = re.compile(r"\$\$|\$\{((?:[^${}]|\{[^{}]*\})+)\}")
 
 
 def _default_providers() -> dict[str, Callable[[str, Mapping[str, str]], str]]:
@@ -79,7 +82,22 @@ def _default_providers() -> dict[str, Callable[[str, Mapping[str, str]], str]]:
         except OSError as e:
             raise ConfigError(f"cannot read ${{file:{uri}}}: {e}") from e
 
-    return {"env": env_provider, "file": file_provider}
+    def yaml_provider(uri: str, env: Mapping[str, str]) -> str:
+        """Inline-YAML provider (confmap/provider/yamlprovider): the
+        URI body IS the value, e.g. ``${yaml:[a, b]}`` or
+        ``${yaml:{timeout: 2s}}`` — returned as text here and
+        YAML-parsed type-preservingly by _expand_value exactly like
+        env/file payloads. Validation happens at parse time so a
+        malformed fragment fails at config load, not at first use."""
+        import yaml as _yaml
+
+        try:
+            _yaml.safe_load(uri)
+        except _yaml.YAMLError as e:
+            raise ConfigError(f"${{yaml:...}}: invalid YAML fragment: {e}") from e
+        return uri
+
+    return {"env": env_provider, "file": file_provider, "yaml": yaml_provider}
 
 
 def _resolve_ref(inner: str, env: Mapping[str, str], providers) -> str:

@@ -211,6 +211,38 @@ def test_env_expansion_type_preserving_and_embedded():
     assert out["lit"] == "cost is $5"  # $$ escape
 
 
+def test_yaml_provider_inline_fragments():
+    """${yaml:...} inlines a literal YAML fragment type-preservingly
+    (confmap/provider/yamlprovider): scalars, flow lists, and one-level
+    flow maps; malformed fragments fail at config load."""
+    out = cfg_mod._expand_value(
+        {
+            "n": "${yaml:42}",
+            "lst": "${yaml:[a, b, c]}",
+            "map": "${yaml:{timeout: 2s, max: 7}}",
+            "s": "${yaml:plain}",
+        },
+        {},
+        cfg_mod._default_providers(),
+    )
+    assert out["n"] == 42
+    assert out["lst"] == ["a", "b", "c"]
+    assert out["map"] == {"timeout": "2s", "max": 7}
+    assert out["s"] == "plain"
+    with pytest.raises(ConfigError, match="invalid YAML fragment"):
+        cfg_mod._expand_value(
+            {"x": "${yaml:{a: [}}"},
+            {},
+            cfg_mod._default_providers(),
+        )
+    # an unbalanced reference never matches the resolver grammar and
+    # passes through verbatim (same as any non-reference '$' text)
+    out = cfg_mod._expand_value(
+        {"x": "${yaml:{unclosed: [}"}, {}, cfg_mod._default_providers()
+    )
+    assert out["x"] == "${yaml:{unclosed: [}"
+
+
 def test_env_expansion_errors():
     with pytest.raises(ConfigError, match="MISSING_VAR.*not set"):
         cfg_mod._expand_value(

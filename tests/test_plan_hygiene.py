@@ -175,9 +175,11 @@ def test_column_pruning_reaches_scan(spark, sf_dir):
     over documents reads exactly (doc_id, text) — not the full schema.
     The property that keeps a 100 TB scan from reading bytes the query
     never touches."""
-    import __spark_entry__ as m
+    from opentelemetry_collector_spark.operators import textstats
 
-    plan = _plan(m.queries()["token_count"](spark, sf_dir))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = textstats.token_count(docs).select("doc_id", "n_tokens", "n_subwords_est")
+    plan = _plan(q)
     scan = next(ln for ln in plan.splitlines() if "ReadSchema" in ln)
     schema = scan.split("ReadSchema:")[1]
     assert "doc_id" in schema and "text" in schema
