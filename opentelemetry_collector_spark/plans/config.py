@@ -65,10 +65,19 @@ _REF_RE = re.compile(r"\$\$|\$\{((?:[^${}]|\{[^{}]*\})+)\}")
 
 
 def _default_providers() -> dict[str, Callable[[str, Mapping[str, str]], str]]:
-    """Built-in scheme providers, mirroring the reference's env and file
-    providers. A provider maps a URI to raw text; the resolved text is
-    YAML-parsed when the reference was the entire string (so
-    ``port: ${env:PORT}`` yields an int, exactly like confmap)."""
+    """Built-in scheme providers, mirroring the reference's env, file
+    and yaml providers. A provider maps a URI to raw text; the resolved
+    text is YAML-parsed when the reference was the entire string (so
+    ``port: ${env:PORT}`` yields an int, exactly like confmap).
+
+    Out of scope v1: the reference's ``http://`` / ``https://``
+    providers (confmap/provider/httpprovider, httpsprovider) — config
+    fetched over the network at submit time is an anti-pattern for a
+    Spark job (the driver may relaunch where the endpoint is absent;
+    cluster configs belong in the artifact store shipped with the job),
+    and this sandbox has no network. The provider registry is a plain
+    dict, so a deployment that needs them registers a scheme in one
+    line."""
 
     def env_provider(uri: str, env: Mapping[str, str]) -> str:
         if uri not in env:

@@ -371,3 +371,42 @@ def decode_logs_proto(
         df.select(*carry, F.explode(_dec(F.col(wire_col))).alias("r"))
         .select(*carry, "r.*")
     )
+
+
+def read_otlp_proto(spark, path: str) -> DataFrame:
+    """Protobuf file receiver: one LogsData proto per file under
+    ``path`` (the export framing `write_proto_files` produces — one
+    envelope per (conversation, batch) file, the standard object-store
+    layout for OTLP blobs) → one row per LogRecord. `binaryFile` scans
+    split across executors like any other file source; the decode is
+    the same Arrow-batched walker the round-trip query uses."""
+    raw = spark.read.format("binaryFile").load(path).select(
+        F.col("content").alias("wire")
+    )
+    return decode_logs_proto(raw)
+
+
+def write_proto_files(df: DataFrame, path: str, wire_col: str = "wire") -> int:
+    """Exporter-side file sink for encoded envelopes: one ``.pb`` file
+    per envelope row (foreachPartition, executor-side writes — no
+    driver collect). Returns the row count via the write's accumulator
+    semantics (a count on the SAME cached plan the writer consumed)."""
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    enc = df.select(
+        F.md5(F.concat_ws("|", "conv_id", "_batch")).alias("name"), wire_col
+    )
+
+    def _write(rows):
+        for r in rows:
+            with open(os.path.join(path, f"{r['name']}.pb"), "wb") as f:
+                f.write(bytes(r[wire_col]))
+
+    enc = enc.persist()
+    try:
+        n = enc.count()
+        enc.foreachPartition(_write)
+    finally:
+        enc.unpersist()
+    return n

@@ -91,6 +91,33 @@ def test_decode_inverts_encode_unicode_and_empty():
     assert row["ts_unix_nano"] == 1_700_000_000_000_000_000
 
 
+def test_proto_file_export_ingest(spark, sf_dir, tmp_path):
+    """Exporter → .pb files → file receiver reproduces every record
+    (the S1 ingest path for stored OTLP blobs)."""
+    from opentelemetry_collector_spark.operators import parse as parse_ops
+    from opentelemetry_collector_spark.sources.transcripts import (
+        derive_transcripts,
+    )
+
+    parsed = parse_ops.parse_stage(
+        derive_transcripts(spark, sf_dir), with_attrs=False
+    ).limit(200)
+    env = op.encode_logs_proto(parsed)
+    out = str(tmp_path / "pb")
+    n_files = op.write_proto_files(env, out)
+    assert n_files == env.count()
+    back = op.read_otlp_proto(spark, out)
+    got = sorted(
+        (r["res_conv"], r["turn_idx"], r["body_text"])
+        for r in back.collect()
+    )
+    want = sorted(
+        (r["conv_id"], r["turn_idx"], r["text"])
+        for r in parsed.select("conv_id", "turn_idx", "text").collect()
+    )
+    assert got == want
+
+
 def test_spark_proto_roundtrip(spark, sf_dir):
     """encode_logs_proto → decode_logs_proto over real parsed turns
     reproduces every record (same invariant the driver query oracles
