@@ -29,6 +29,7 @@ from opentelemetry_collector_spark.operators import parse as parse_ops
 from opentelemetry_collector_spark.operators import route as route_ops
 from opentelemetry_collector_spark.operators import exphist as exphist_mod
 from opentelemetry_collector_spark.operators import textstats as textstats_mod
+from opentelemetry_collector_spark.operators import traces as traces_mod
 from opentelemetry_collector_spark.sources import (
     derive_transcripts,
     role_lookup_df,
@@ -918,6 +919,33 @@ def q_exp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exphist.exponential_histogram(d, "latency_ms", scale=2)
 
 
+def q_exp_histogram_downscale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential-histogram downscale (the OTLP merge primitive):
+    aggregate at scale 3, downscale to scale 1 with exact integer
+    index shifts. Scale-1 boundaries nest inside scale-3 boundaries,
+    so the result is BIT-IDENTICAL to aggregating directly at scale 1 —
+    which is exactly what the oracle computes, proving the downscale
+    arithmetic cross-engine."""
+    from opentelemetry_collector_spark.operators import exphist
+
+    d = _parsed(spark, sf_dir).select(
+        F.col("tool_parsed").alias("tool"), "latency_ms"
+    )
+    h3 = exphist.exponential_histogram(d, "latency_ms", scale=3)
+    return exphist.downscale(h3, from_scale=3, to_scale=1)
+
+
+def q_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traces signal: one span per turn (trace = conversation, parent =
+    previous turn) with deterministic md5 IDs, ptrace-shaped columns
+    (trace/v1 Span; operators/traces.py). Pure column math; the Span
+    WIRE codec (canonical proto bytes) is golden-vector- and
+    roundtrip-tested in tests/test_otlp_proto.py."""
+    from opentelemetry_collector_spark.operators import traces
+
+    return traces.derive_spans(_parsed(spark, sf_dir))
+
+
 def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intra-document repetition signals (Gopher/C4 curation rules):
     duplicate-2-gram fraction + top-word share per document, with an
@@ -1036,6 +1064,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "debug_exporter": q_debug_exporter,
         "proto_roundtrip": q_proto_roundtrip,
         "exp_histogram": q_exp_histogram,
+        "exp_histogram_downscale": q_exp_histogram_downscale,
+        "spans": q_spans,
         # -- last driver row predates r3 or code changed in r4 --
         "dedup_embedding_kmeans": q_dedup_embedding_kmeans,
         "corpus_curation": q_corpus_curation,
@@ -1074,10 +1104,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_stats": q_conv_stats,
         "window_sliding": q_window_sliding,
         "window_session": q_window_session,
+        # -- past the 50-entry window: green in BOTH r2 and r3 and
+        #    untouched since; their last driver rows describe this code
         "top_convs": q_top_convs,
         "metadata_shards": q_metadata_shards,
-        # -- past the 50-entry window: double-green (r2 AND r3) and
-        #    untouched since; their last driver rows describe this code
         "transcripts": q_transcripts,
         "parse": q_parse,
         "enrich": q_enrich,
@@ -1433,6 +1463,14 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT tool_parsed AS tool, latency_ms FROM parsed)",
             "latency_ms", scale=2, lead=",",
         ),
+        # downscaled scale-3 histogram == direct scale-1 histogram (the
+        # nesting property) — so the oracle just aggregates at scale 1
+        "exp_histogram_downscale": f"{p}"
+        + exphist_mod.exponential_histogram_sql(
+            "(SELECT tool_parsed AS tool, latency_ms FROM parsed)",
+            "latency_ms", scale=1, lead=",",
+        ),
+        "spans": traces_mod.spans_oracle_sql(p),
         "nested_attrs": f"""
             {p},
             vals AS (

@@ -84,6 +84,75 @@ def exponential_histogram(
     )
 
 
+def downscale(
+    hist: DataFrame,
+    from_scale: int,
+    to_scale: int,
+    group_cols: tuple[str, ...] = ("tool",),
+) -> DataFrame:
+    """Downscale an exponential histogram to a coarser scale — the
+    OTLP merge primitive (two histograms at different scales merge by
+    downscaling the finer to the coarser, then summing counts).
+
+    Because scale-``s`` boundaries nest inside scale-``s+1`` boundaries,
+    the mapping is EXACT integer math: new_index = index >> (from-to)
+    (arithmetic shift = floor division, correct for negative indexes).
+    A downscaled histogram is bit-identical to one computed directly at
+    the coarser scale — the property the `exp_histogram_downscale`
+    query oracles cross-engine. One partial-aggregated groupBy over
+    (groups × occupied buckets) rows — trivially scan-speed."""
+    if from_scale < to_scale:
+        raise ValueError(
+            f"downscale: from_scale {from_scale} must be >= to_scale "
+            f"{to_scale} (upscaling cannot split bucket counts)"
+        )
+    shift = from_scale - to_scale
+    base_log2 = float(2 ** -to_scale)
+    idx2 = F.when(
+        F.col("idx").isNotNull(), F.shiftright(F.col("idx"), shift)
+    )
+    lo = F.round(F.pow(F.lit(2.0), F.col("idx") * F.lit(base_log2)), 6)
+    hi = F.round(
+        F.pow(F.lit(2.0), (F.col("idx") + 1) * F.lit(base_log2)), 6
+    )
+    return (
+        hist.select(*group_cols, "sign", idx2.alias("idx"), "n")
+        .groupBy(*group_cols, "sign", "idx")
+        .agg(F.sum("n").alias("n"))
+        .select(
+            *group_cols,
+            "sign",
+            "idx",
+            "n",
+            F.when(F.col("idx").isNotNull(), lo).alias("lo"),
+            F.when(F.col("idx").isNotNull(), hi).alias("hi"),
+        )
+    )
+
+
+def merge_histograms(
+    a: DataFrame,
+    b: DataFrame,
+    a_scale: int,
+    b_scale: int,
+    group_cols: tuple[str, ...] = ("tool",),
+) -> tuple[DataFrame, int]:
+    """Merge two exponential histograms (the ExponentialHistogram
+    aggregation-temporality merge): downscale the finer operand to the
+    coarser scale, union, sum counts per bucket. Returns (merged,
+    scale)."""
+    scale = min(a_scale, b_scale)
+    a2 = downscale(a, a_scale, scale, group_cols)
+    b2 = downscale(b, b_scale, scale, group_cols)
+    merged = (
+        a2.unionByName(b2)
+        .groupBy(*group_cols, "sign", "idx", "lo", "hi")
+        .agg(F.sum("n").alias("n"))
+        .select(*group_cols, "sign", "idx", "n", "lo", "hi")
+    )
+    return merged, scale
+
+
 def exponential_histogram_sql(
     table_expr: str,
     value_col: str,

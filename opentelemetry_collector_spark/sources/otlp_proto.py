@@ -373,6 +373,173 @@ def decode_logs_proto(
     )
 
 
+# ---------------------------------------------------------------------------
+# traces signal (trace/v1/trace.proto): Span wire codec
+# ---------------------------------------------------------------------------
+
+
+def _bytes_field(field: int, raw: bytes) -> bytes:
+    if not raw:
+        return b""
+    return _key(field, _WT_LEN) + _varint(len(raw)) + raw
+
+
+def encode_span(
+    trace_id_hex: str,
+    span_id_hex: str,
+    parent_span_id_hex: str | None,
+    name: str,
+    kind: int,
+    start_unix_nano: int,
+    end_unix_nano: int,
+    status_code: int,
+) -> bytes:
+    """One Span message in canonical field order: trace_id=1,
+    span_id=2, parent_span_id=4, name=5, kind=6, start=7 (fixed64),
+    end=8 (fixed64), status=15 {code=3}. IDs come in as the hex the
+    column derivation produces; the wire carries raw bytes. A status
+    message is written only for non-UNSET codes (proto3 omission)."""
+    out = (
+        _bytes_field(1, bytes.fromhex(trace_id_hex))
+        + _bytes_field(2, bytes.fromhex(span_id_hex))
+        + _bytes_field(4, bytes.fromhex(parent_span_id_hex or ""))
+        + _str_field(5, name)
+        + _varint_field(6, kind)
+        + _fixed64_field(7, start_unix_nano)
+        + _fixed64_field(8, end_unix_nano)
+    )
+    if status_code:
+        out += _msg_field(15, _varint_field(3, status_code))
+    return out
+
+
+def encode_resource_spans(conv_id: str, spans: list[bytes]) -> bytes:
+    """TracesData{ResourceSpans} for one conversation: resource carries
+    conv.id like the logs envelope; one ScopeSpans holds the spans."""
+    resource = _keyvalue("conv.id", _any_string(conv_id))
+    sl = _msg_field(1, _str_field(1, "transcripts")) + b"".join(
+        _msg_field(2, s) for s in spans
+    )
+    body = _msg_field(1, _msg_field(1, resource)) + _msg_field(2, sl)
+    return _msg_field(1, body)
+
+
+def decode_spans(buf: bytes) -> list[dict]:
+    """TracesData bytes → one dict per Span (inverse of the encoder for
+    the carried fields; unknown fields skipped)."""
+    out: list[dict] = []
+    for f_rs, _, rs in _fields(buf):
+        if f_rs != 1:
+            continue
+        conv_id = ""
+        for f, _, v in _fields(rs):
+            if f == 1:
+                for f2, _, attrs in _fields(v):
+                    if f2 == 1:
+                        key = val = ""
+                        for f3, _, v3 in _fields(attrs):
+                            if f3 == 1:
+                                key = v3.decode("utf-8")
+                            elif f3 == 2:
+                                val = _any_to_str(v3)
+                        if key == "conv.id":
+                            conv_id = val
+        for f, _, v in _fields(rs):
+            if f != 2:
+                continue
+            for f2, _, v2 in _fields(v):
+                if f2 != 2:
+                    continue
+                rec = {
+                    "res_conv": conv_id,
+                    "trace_id": "",
+                    "span_id": "",
+                    "parent_span_id": None,
+                    "name": "",
+                    "kind": 0,
+                    "start_unix_nano": 0,
+                    "end_unix_nano": 0,
+                    "status_code": 0,
+                }
+                for f3, _, v3 in _fields(v2):
+                    if f3 == 1:
+                        rec["trace_id"] = v3.hex()
+                    elif f3 == 2:
+                        rec["span_id"] = v3.hex()
+                    elif f3 == 4:
+                        rec["parent_span_id"] = v3.hex()
+                    elif f3 == 5:
+                        rec["name"] = v3.decode("utf-8")
+                    elif f3 == 6:
+                        rec["kind"] = v3
+                    elif f3 == 7:
+                        rec["start_unix_nano"] = v3
+                    elif f3 == 8:
+                        rec["end_unix_nano"] = v3
+                    elif f3 == 15:
+                        for f4, _, v4 in _fields(v3):
+                            if f4 == 3:
+                                rec["status_code"] = v4
+                out.append(rec)
+    return out
+
+
+_SPAN_DECODED_SCHEMA = (
+    "res_conv string, trace_id string, span_id string, "
+    "parent_span_id string, name string, kind int, "
+    "start_unix_nano bigint, end_unix_nano bigint, status_code int"
+)
+
+
+def encode_spans_proto(spans: DataFrame) -> DataFrame:
+    """Span rows (operators/traces.derive_spans shape) → one TracesData
+    proto per conversation; same declarative group/sort + Arrow
+    boundary as the logs encoder."""
+    rec = F.struct(
+        F.col("turn_idx").cast("bigint").alias("ti"),
+        "trace_id", "span_id", "parent_span_id", "name", "kind",
+        "start_unix_nano", "end_unix_nano", "status_code",
+    )
+    grouped = (
+        spans.select("conv_id", rec.alias("s"))
+        .groupBy("conv_id")
+        .agg(F.array_sort(F.collect_list("s")).alias("ss"))
+    )
+
+    @pandas_udf("binary")
+    def _enc(conv: pd.Series, ss: pd.Series) -> pd.Series:
+        out = []
+        for cid, arr in zip(conv, ss):
+            encoded = [
+                encode_span(
+                    s["trace_id"], s["span_id"], s["parent_span_id"],
+                    s["name"], int(s["kind"]),
+                    int(s["start_unix_nano"]), int(s["end_unix_nano"]),
+                    int(s["status_code"]),
+                )
+                for s in arr
+            ]
+            out.append(encode_resource_spans(cid, encoded))
+        return pd.Series(out)
+
+    return grouped.select("conv_id", _enc("conv_id", "ss").alias("wire"))
+
+
+def decode_spans_proto(
+    df: DataFrame, wire_col: str = "wire", carry: list[str] | None = None
+) -> DataFrame:
+    carry = carry or []
+
+    @pandas_udf(f"array<struct<{_SPAN_DECODED_SCHEMA}>>")
+    def _dec(wire: pd.Series) -> pd.Series:
+        return pd.Series([decode_spans(bytes(b)) for b in wire])
+
+    return (
+        df.select(*carry, F.explode(_dec(F.col(wire_col))).alias("r"))
+        .select(*carry, "r.*")
+    )
+
+
 def read_otlp_proto(spark, path: str) -> DataFrame:
     """Protobuf file receiver: one LogsData proto per file under
     ``path`` (the export framing `write_proto_files` produces — one

@@ -38,6 +38,56 @@ def test_bucket_bounds_scale2(spark):
     assert abs(r["hi"] - 2.0 ** (7 / 4)) < 1e-6
 
 
+def test_downscale_nesting_property(spark):
+    """Scale-s boundaries nest in scale-(s+k) boundaries, so a
+    downscaled histogram must equal one computed directly at the
+    coarser scale — including negative indexes (arithmetic shift) and
+    the zero bucket."""
+    vals = [0.0, 0.0625, 0.3, 1.0, 1.5, 2.0, 3.9, 4.0, 123.456, -7.5,
+            1e6, 1e-6]
+    df = spark.createDataFrame(
+        [("t", v) for v in vals], "tool string, v double"
+    )
+    h3 = exphist.exponential_histogram(df, "v", scale=3)
+    down = {
+        (r["sign"], r["idx"]): (r["n"], r["lo"], r["hi"])
+        for r in exphist.downscale(h3, 3, 1).collect()
+    }
+    direct = {
+        (r["sign"], r["idx"]): (r["n"], r["lo"], r["hi"])
+        for r in exphist.exponential_histogram(df, "v", scale=1).collect()
+    }
+    assert down == direct
+
+    import pytest
+
+    with pytest.raises(ValueError, match="must be >="):
+        exphist.downscale(h3, 1, 3)
+
+
+def test_merge_histograms(spark):
+    """Merging a scale-3 and a scale-1 histogram downscales the finer
+    operand and sums bucket counts — equal to histogramming the unioned
+    values directly at the coarser scale."""
+    va = [1.0, 2.5, 0.0, 9.0]
+    vb = [2.5, 64.0, 0.1]
+    da = spark.createDataFrame([("t", v) for v in va], "tool string, v double")
+    db = spark.createDataFrame([("t", v) for v in vb], "tool string, v double")
+    ha = exphist.exponential_histogram(da, "v", scale=3)
+    hb = exphist.exponential_histogram(db, "v", scale=1)
+    merged, scale = exphist.merge_histograms(ha, hb, 3, 1)
+    assert scale == 1
+    got = {(r["sign"], r["idx"]): r["n"] for r in merged.collect()}
+    both = spark.createDataFrame(
+        [("t", v) for v in va + vb], "tool string, v double"
+    )
+    want = {
+        (r["sign"], r["idx"]): r["n"]
+        for r in exphist.exponential_histogram(both, "v", scale=1).collect()
+    }
+    assert got == want
+
+
 def test_duckdb_twin_parity(spark):
     """The shared SQL twin must bucket identically to the Spark
     operator over values engineered to sit on and around boundaries."""
