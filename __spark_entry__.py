@@ -412,34 +412,35 @@ def q_streaming_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = tempfile.mkdtemp(prefix="otelcol_stream_q_")
     try:
         src = f"{base}/src"
-        # fixed memory-sink name, previous result dropped: repeated
-        # invocations (bench runs each query twice) hold at most ONE
-        # result set in driver memory instead of accumulating
-        name = "q_stream_accounting"
-        spark.catalog.dropTempView(name)
+        out = f"{base}/out"
         derive_transcripts(spark, sf_dir).repartition(4).write.parquet(src)
         routed = ss.transform(
             ss.stream_transcripts(spark, src, max_files=2), spark
         )
+        acct = ss.windowed_accounting(routed)
         q = (
-            ss.windowed_accounting(routed)
-            .writeStream.format("memory")
-            .queryName(name)
+            acct.writeStream.format("parquet")
+            .option("path", out)
             .outputMode("append")
             .option("checkpointLocation", f"{base}/ckpt")
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
-        # materialize a SELF-CONTAINED result: the fixed-name view is
-        # dropped/recreated per invocation, so returning the lazy view
-        # handle would alias a later run's rows if the caller collects
-        # late; the copy also lets the view be rebuilt freely
-        view = spark.table(name)
-        return spark.createDataFrame(view.collect(), view.schema)
+        # Parquet sink + lazy read-back: the result never transits the
+        # driver (the old memory sink forced a .collect() +
+        # createDataFrame round-trip — the only collect-of-data in any
+        # contract path). Each invocation gets its OWN tempdir, so a
+        # late collect of run 1's handle can never alias run 2's rows.
+        # Schema passed explicitly: inference-proof even for an empty
+        # window set.
+        return spark.read.schema(acct.schema).parquet(out)
     finally:
-        # the source copy + stream checkpoint are per-invocation scratch
-        shutil.rmtree(base, ignore_errors=True)
+        # drop the per-invocation source copy + stream checkpoint; the
+        # parquet OUTPUT must outlive this call (the returned DataFrame
+        # reads it lazily) — a few MB of /tmp per run, reaped at exit
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(f"{base}/ckpt", ignore_errors=True)
 
 
 def q_union_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -742,12 +743,20 @@ def _lsh_bucket_sql(vec_sql: str, planes: list[list[float]]) -> str:
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector symmetric int8 quantization (similarity.quantize_int8)
     — the 4× storage cut a 100 TB embedding corpus takes before
-    indexing: scale = max|x|/127, q = round(x/scale) as tinyint. Pure
-    column math; scales and quantized arrays value-oracled."""
+    indexing: scale = max|x|/127, q = round(x/scale) as tinyint. The
+    quantized array is projected as a canonical CSV string (the driver
+    canonicalizer cannot hash array columns); scale rounded to 6dp on
+    both engines. Scales and every quantized component value-oracled."""
     from opentelemetry_collector_spark.operators import similarity
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return similarity.quantize_int8(emb)
+    qz = similarity.quantize_int8(emb)
+    return qz.select(
+        "vec_id",
+        F.round("q_scale", 6).alias("q_scale"),
+        F.array_join(F.col("q_vec").cast("array<int>").cast("array<string>"), ",")
+        .alias("q_vec_csv"),
+    )
 
 
 def q_ann_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1818,14 +1827,15 @@ def oracle_sql() -> dict[str, str]:
               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                      list_max(list_transform(CAST(embedding AS DOUBLE[]),
                                              x -> abs(x))) / 127.0 AS q_scale
-              FROM embeddings
+            FROM embeddings
             )
-            SELECT vec_id, q_scale,
-                   CASE WHEN q_scale = 0
-                        THEN list_transform(v, x -> CAST(0 AS TINYINT))
-                        ELSE list_transform(v, x ->
-                               CAST(round(x / q_scale, 0) AS TINYINT)) END
-                   AS q_vec
+            SELECT vec_id, round(q_scale, 6) AS q_scale,
+                   array_to_string(
+                     CASE WHEN q_scale = 0
+                          THEN list_transform(v, x -> CAST(0 AS INT))
+                          ELSE list_transform(v, x -> CAST(CAST(
+                                 round(x / q_scale, 0) AS TINYINT) AS INT)) END,
+                     ',') AS q_vec_csv
             FROM v
         """,
         "ann_quantized_recall": """
@@ -2210,10 +2220,13 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             ),
             s AS (
+              -- DuckDB's windowed sum(BIGINT) widens to HUGEINT, which the
+              -- driver fetches as float64; CAST back to BIGINT so the value
+              -- hash matches Spark's bigint (values are bit-identical).
               SELECT doc_id, n_tokens,
-                     sum(n_tokens) OVER (ORDER BY doc_id
+                     CAST(sum(n_tokens) OVER (ORDER BY doc_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                       - n_tokens AS start_offset
+                       - n_tokens AS BIGINT) AS start_offset
               FROM d
             )
             SELECT doc_id, n_tokens, start_offset,

@@ -110,13 +110,15 @@ def normal_lines(parsed: DataFrame) -> DataFrame:
 def sample_per_second(
     df: DataFrame,
     sampling_initial: int = 2,
-    sampling_thereafter: int = 500,
+    sampling_thereafter: int = 1,
     ts_col: str = "ts",
     shards: int = 1,
     granularity: str = "second",
 ) -> DataFrame:
     """The debug exporter's zap-sampler semantics in batch form
-    (exporter/debugexporter/config.go:29-34): per event-time second,
+    (exporter/debugexporter/config.go:29-34, defaults at
+    factory.go:29-30: initial=2, thereafter=1 — keep everything after
+    the burst unless configured otherwise): per event-time second,
     keep the first ``sampling_initial`` records, then every
     ``sampling_thereafter``-th thereafter. Order within a second is the
     deterministic (conv_id, turn_idx) — a wall-clock arrival order

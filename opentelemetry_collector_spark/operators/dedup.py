@@ -601,11 +601,17 @@ def connected_components(
     OOM by round 9. With per-round checkpointing each round's plan is a
     flat scan-join-agg over a LogicalRDD: constant compile cost,
     constant driver memory, O(diameter) total work — the property that
-    matters when a 100 TB dup graph needs 10+ rounds. Local (executor
-    block) checkpointing suffices because a lost block only fails the
-    round's job, which idempotently recomputes; superseded rounds'
-    blocks are released by the ContextCleaner as soon as the Python
-    reference drops.
+    matters when a 100 TB dup graph needs 10+ rounds. The trade:
+    ``localCheckpoint`` truncates lineage WITHOUT fault tolerance — a
+    lost executor makes its blocks unrecoverable, so the failure mode
+    is a loud job failure requiring a restart of the whole iteration,
+    not a silent recompute. That is acceptable here (rounds are
+    minutes, the fixpoint loop is restartable from the input edges);
+    a long-running 100 TB run that cannot afford restarts should swap
+    in reliable ``checkpoint()`` against the cluster's checkpoint dir
+    (same call shape, durable blocks). Superseded rounds' blocks are
+    released by the ContextCleaner as soon as the Python reference
+    drops.
 
     Non-convergence is machine-readable, not just a log line: when the
     fixpoint is not reached within ``max_iters`` the labels are only an

@@ -533,9 +533,23 @@ def lsh_topk(
     skip the probe job entirely; only when ``dim`` is None does one
     tiny driver probe over the first NON-NULL vector derive it (an
     all-NULL/empty corpus has no derivable dim — that raises instead of
-    degrading silently; note a caller-supplied WRONG dim would NULL
-    every dot product via zip_with padding, so pass it only when
-    known)."""
+    degrading silently). An explicit dim is still guarded lazily: a
+    WRONG dim would NULL every dot product via zip_with padding and
+    silently return an empty top-k, so the vector column is wrapped in
+    a size()==dim check that raises on the first mismatching row —
+    one integer compare per row, no extra job."""
+    if dim is not None:
+        def _guard(df: DataFrame) -> DataFrame:
+            return df.withColumn(
+                vec_col,
+                F.when(F.size(F.col(vec_col)) == F.lit(dim), F.col(vec_col))
+                .otherwise(F.raise_error(F.concat(
+                    F.lit(f"lsh_topk: explicit dim={dim} but size({vec_col})="),
+                    F.size(F.col(vec_col)).cast("string"),
+                ))),
+            )
+        corpus = _guard(corpus)
+        queries = _guard(queries)
     if dim is None:
         probe = (
             corpus.select(F.col(vec_col).alias("_v"))

@@ -114,12 +114,18 @@ def _resolve_ref(inner: str, env: Mapping[str, str], providers) -> str:
     (envprovider): ``env:NAME``, ``env:NAME:-default``, and the bare
     legacy form ``NAME`` / ``NAME:-default`` (default scheme env)."""
     ref, default = inner, None
-    if ":-" in inner:
-        ref, default = inner.split(":-", 1)
-    if ":" in ref:
-        scheme, uri = ref.split(":", 1)
+    if inner.split(":", 1)[0] == "yaml" and ":" in inner:
+        # the yaml provider's URI body is a LITERAL fragment — a ':-'
+        # inside it (${yaml:-5}, ${yaml:{k: v}} with embedded ':-') is
+        # part of the YAML, not the envprovider default grammar
+        scheme, uri = inner.split(":", 1)
     else:
-        scheme, uri = "env", ref
+        if ":-" in inner:
+            ref, default = inner.split(":-", 1)
+        if ":" in ref:
+            scheme, uri = ref.split(":", 1)
+        else:
+            scheme, uri = "env", ref
     provider = providers.get(scheme)
     if provider is None:
         raise ConfigError(
@@ -303,14 +309,15 @@ class ServiceConfig:
                     f"pipeline {name!r}: references exporter more than once"
                 )
         # debugexporter sampling knobs: thereafter must be >= 1 — it is
-        # a modulo divisor (keep every Nth after the initial burst), and
-        # the reference rejects nothing lower (config.go:29-34 defaults
-        # thereafter to 500; 0 would divide by zero)
+        # a modulo divisor (keep every Nth after the initial burst); the
+        # reference defaults it to 1, i.e. keep EVERYTHING after the
+        # burst (factory.go:29-30: initial=2, thereafter=1; 500 is the
+        # legacy loggingexporter/zap default, not this component's)
         for cid, opts in self.exporters.items():
             if _ctype(cid) != "debug":
                 continue
-            st = (opts or {}).get("sampling_thereafter", 500)
-            if not isinstance(st, int) or st < 1:
+            st = (opts or {}).get("sampling_thereafter", 1)
+            if not isinstance(st, int) or isinstance(st, bool) or st < 1:
                 raise ConfigError(
                     f"exporter {cid!r}: sampling_thereafter must be an "
                     f"integer >= 1 (got {st!r})"
@@ -602,11 +609,12 @@ def run(
                     from opentelemetry_collector_spark.sinks.tables import debug_format
 
                     out_df = df
-                    # debugexporter sampling knobs (config.go:29-34):
+                    # debugexporter sampling knobs (factory.go:29-30):
                     # first N per event-time second, then every Mth.
-                    # thereafter defaults to the reference's 500 (keep
-                    # 1-in-500 after the burst), not 1; validate()
-                    # already rejected values < 1
+                    # thereafter defaults to the reference's 1 — keep
+                    # every record after the burst; a config that sets
+                    # only sampling_initial must not silently drop
+                    # 499/500 records. validate() already rejected < 1
                     si = int(opts.get("sampling_initial", 0))
                     if si > 0:
                         from opentelemetry_collector_spark.operators.debugfmt import (
@@ -617,7 +625,7 @@ def run(
                             out_df,
                             sampling_initial=si,
                             sampling_thereafter=int(
-                                opts.get("sampling_thereafter", 500)
+                                opts.get("sampling_thereafter", 1)
                             ),
                             granularity=opts.get("sampling_granularity", "second"),
                         )

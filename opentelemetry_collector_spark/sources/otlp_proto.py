@@ -28,8 +28,13 @@ The message layout is the public opentelemetry-proto logs schema
 Encoding follows the canonical proto3 wire rules (varint keys
 ``(field_number << 3) | wire_type``, little-endian fixed64,
 length-delimited nested messages) with ascending field order and
-proto3 default-value omission (empty strings / zero scalars are not
-written) — the same bytes Go's marshaler emits for these messages.
+proto3 default-value omission for PLAIN fields (empty strings / zero
+scalars are not written). Oneof members are the exception: a set
+oneof field is always serialized even at its zero value (Go emits
+Int(0) as ``0x18 0x00`` and Str("") as ``0x0a 0x00`` inside AnyValue)
+— otherwise external pdata readers would decode a present-but-zero
+value as an EMPTY AnyValue. The same bytes Go's marshaler emits for
+these messages.
 Byte-faithfulness is pinned by golden-vector tests (hand-derived from
 the wire spec) in tests/test_otlp_proto.py; semantic faithfulness by
 the ``proto_roundtrip`` driver query, which decodes what it encodes and
@@ -109,15 +114,22 @@ def _fixed64_field(field: int, n: int) -> bytes:
 
 
 def _any_string(s: str | None) -> bytes:
-    """AnyValue{string_value=1}. Encodes the FIELD even for the empty
-    string (an AnyValue message that is present but empty decodes as
-    the empty string — matches pdata's Str("") round trip)."""
-    return _str_field(1, s)
+    """AnyValue{string_value=1}. A oneof member is ALWAYS serialized
+    when set — Go's marshaler writes Str("") as ``0x0a 0x00`` (field
+    key + zero length), never as an empty AnyValue; the proto3
+    zero-value-omission rule applies only to plain (non-oneof) fields.
+    An external pdata reader distinguishes Str("") from an unset
+    value by the field's presence."""
+    raw = (s or "").encode("utf-8")
+    return _key(1, _WT_LEN) + _varint(len(raw)) + raw
 
 
 def _any_int(n: int) -> bytes:
-    """AnyValue{int_value=3}."""
-    return _varint_field(3, n)
+    """AnyValue{int_value=3}. Always emitted, even for 0 — Go writes
+    Int(0) as ``0x18 0x00``; omitting it would decode as an EMPTY
+    AnyValue for external OTLP consumers (every conversation's first
+    turn carries turn.idx=0)."""
+    return _key(3, _WT_VARINT) + _varint(n or 0)
 
 
 def _keyvalue(key: str, any_bytes: bytes) -> bytes:

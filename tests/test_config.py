@@ -243,6 +243,27 @@ def test_yaml_provider_inline_fragments():
     assert out["x"] == "${yaml:{unclosed: [}"
 
 
+def test_yaml_provider_body_is_exempt_from_default_grammar():
+    """The yaml provider's URI body is a LITERAL fragment: a ':-' inside
+    it is YAML text, not the envprovider's NAME:-default grammar.
+    ${yaml:-5} is the scalar -5 (not env '' defaulting to '5'), and an
+    embedded ':-' in a flow map survives; the env forms keep their
+    default splitting."""
+    providers = cfg_mod._default_providers()
+    out = cfg_mod._expand_value(
+        {
+            "neg": "${yaml:-5}",
+            "dash": "${yaml:{sep: a:-b}}",
+            "envd": "${env:OTELCOL_NOT_SET_XYZ:-fallback}",
+        },
+        {},
+        providers,
+    )
+    assert out["neg"] == -5
+    assert out["dash"] == {"sep": "a:-b"}
+    assert out["envd"] == "fallback"
+
+
 def test_env_expansion_errors():
     with pytest.raises(ConfigError, match="MISSING_VAR.*not set"):
         cfg_mod._expand_value(
@@ -314,8 +335,10 @@ def test_config_run_with_checkpoint_resume(spark, sf_dir, tmp_path):
     counts2 = run(build(cfg), spark, wh, run_id="cfgrun")
     resumed = time.monotonic() - t0
     assert counts1 == counts2
-    # all-skip path runs no Spark jobs — well under a second
-    assert resumed < 2.0, resumed
+    # all-skip path runs no Spark jobs — idle it's <0.1s, but a loaded
+    # suite session (GC pauses) can stretch wall time; 5s still proves
+    # the skip (the real run above takes 10s+)
+    assert resumed < 5.0, resumed
 
 
 def test_debug_exporter_sampling_from_config(spark, sf_dir, tmp_path):
@@ -349,14 +372,17 @@ def test_debug_exporter_sampling_from_config(spark, sf_dir, tmp_path):
 
 def test_debug_sampling_thereafter_validated_at_load(spark, sf_dir):
     """sampling_thereafter is a modulo divisor: 0 (or any non-positive /
-    non-integer value) must be rejected at config-load time with a
-    ConfigError, not surface as a runtime divide-by-zero; the reference
-    defaults it to 500 (debugexporter config.go:29-34)."""
+    non-integer / boolean value) must be rejected at config-load time
+    with a ConfigError, not surface as a runtime divide-by-zero; the
+    reference defaults it to 1 (debugexporter factory.go:29-30 — keep
+    everything after the initial burst). Booleans are rejected even
+    though Python bools pass isinstance(int): True silently meaning
+    'every record' is a config typo, not a sampling policy."""
     import pytest
 
     from opentelemetry_collector_spark.plans.config import ConfigError
 
-    for bad in (0, -2, "five"):
+    for bad in (0, -2, "five", True, False):
         raw = _base(
             {"logs": {"receivers": ["transcripts"], "processors": [],
                       "exporters": ["debug/s"]}}

@@ -313,3 +313,23 @@ def test_pack_sequences_sparse_ids_stay_balanced(spark):
     from collections import Counter
     occupancy = Counter(shard_of(i) for i in ids)
     assert max(occupancy.values()) <= 40, occupancy
+
+
+def test_lsh_topk_wrong_explicit_dim_fails_loudly(spark):
+    """A caller-supplied wrong dim would NULL every dot product via
+    zip_with padding and silently return an empty top-k; the lazy
+    size()==dim guard must instead raise on the first mismatching
+    row (and a correct explicit dim must behave as before)."""
+    import pytest
+
+    from opentelemetry_collector_spark.operators.similarity import lsh_topk
+
+    rows = [(i, [float(i), float(i + 1), 1.0, -1.0]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    q = df.filter("vec_id < 2")
+
+    ok = lsh_topk(df, q, n_planes=4, dim=4, k=3, score_path="native")
+    assert ok.count() > 0
+
+    with pytest.raises(Exception, match="explicit dim=8"):
+        lsh_topk(df, q, n_planes=4, dim=8, k=3, score_path="native").count()

@@ -37,9 +37,11 @@ def test_log_record_golden_bytes():
         + "10" + "09"              # 2: varint severity = 9
         + "1a" + "04" + "494e464f"  # 3: "INFO"
         + "2a" + "04" + "0a02" + "6869"  # 5: AnyValue{1:"hi"}
-        # 6: KeyValue{1:"turn.idx", 2: AnyValue{}} (int 0 omitted
-        # inside AnyValue, but the attribute + value messages present)
-        + "32" + "0c" + "0a08" + "7475726e2e696478" + "1200"
+        # 6: KeyValue{1:"turn.idx", 2: AnyValue{3: int 0}} — a set
+        # oneof member is always written, even at its zero value
+        # (Go emits Int(0) as 0x18 0x00); omission is only for plain
+        # fields
+        + "32" + "0e" + "0a08" + "7475726e2e696478" + "1202" + "1800"
         # 12: event_name "" omitted entirely
     )
     assert rec == expect
