@@ -28,6 +28,7 @@ from opentelemetry_collector_spark.operators import filters as filter_ops
 from opentelemetry_collector_spark.operators import parse as parse_ops
 from opentelemetry_collector_spark.operators import route as route_ops
 from opentelemetry_collector_spark.operators import exphist as exphist_mod
+from opentelemetry_collector_spark.operators import metrics as metrics_mod
 from opentelemetry_collector_spark.operators import textstats as textstats_mod
 from opentelemetry_collector_spark.operators import traces as traces_mod
 from opentelemetry_collector_spark.sources import (
@@ -944,6 +945,72 @@ def q_exp_histogram_downscale(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exphist.downscale(h3, from_scale=3, to_scale=1)
 
 
+def q_metric_gauge_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gauge last-value aggregation per tool stream
+    (pmetric/generated_metric.go:104-133 Gauge): the latency point with
+    the greatest (ts, conv_id, turn_idx) wins — one max_by partial
+    aggregation, no window sort (operators/metrics.py)."""
+    from opentelemetry_collector_spark.operators import metrics
+
+    d = (
+        _parsed(spark, sf_dir)
+        .filter(F.col("tool_parsed").isNotNull())
+        .select(
+            F.col("tool_parsed").alias("tool"),
+            "ts", "conv_id", "turn_idx", "latency_ms",
+        )
+    )
+    return metrics.gauge_last(
+        d, "latency_ms", ts_col="ts",
+        tiebreak_cols=("conv_id", "turn_idx"), stream_cols=("tool",),
+    )
+
+
+def q_metric_temporality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sum temporality conversion both ways
+    (pmetric/aggregation_temporality.go:17-20): per-turn byte deltas →
+    CUMULATIVE (running sum per conversation stream), then a modulo-
+    20000 wrap plants deterministic counter RESETS and the
+    cumulative→delta conversion must apply the OTLP reset rule (on a
+    drop, delta = the new value — producer restarted from 0). Windows
+    partitioned by the stream key: per-stream state stays in its
+    partition at any scale (operators/metrics.py)."""
+    from opentelemetry_collector_spark.operators import metrics
+
+    d = _parsed(spark, sf_dir).select("conv_id", "turn_idx", "bytes")
+    cum = metrics.delta_to_cumulative(
+        d, "bytes", order_cols=("turn_idx",), stream_cols=("conv_id",)
+    )
+    mod = cum.withColumn("cum_mod", F.col("cumulative") % F.lit(20000))
+    out = metrics.cumulative_to_delta(
+        mod, "cum_mod", order_cols=("turn_idx",), stream_cols=("conv_id",),
+        out_col="delta_out",
+    )
+    return out.select(
+        "conv_id", "turn_idx",
+        F.coalesce(F.col("bytes"), F.lit(0)).alias("delta_in"),
+        "cumulative", "cum_mod", "delta_out",
+    )
+
+
+def q_metric_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SummaryDataPoint per tool (pmetric/generated_metric.go:221-239,
+    generated_summarydatapointvalueatquantile.go:50-60): count, sum and
+    exact interpolated p50/p90/p99 of latency — one partial-aggregated
+    shuffle; quantile definition shared with the DuckDB twin
+    (operators/metrics.py summary_points/summary_points_sql)."""
+    from opentelemetry_collector_spark.operators import metrics
+
+    d = (
+        _parsed(spark, sf_dir)
+        .filter(F.col("tool_parsed").isNotNull())
+        .select(F.col("tool_parsed").alias("tool"), "latency_ms")
+    )
+    return metrics.summary_points(
+        d, "latency_ms", stream_cols=("tool",), quantiles=(0.5, 0.9, 0.99)
+    )
+
+
 def q_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Traces signal: one span per turn (trace = conversation, parent =
     previous turn) with deterministic md5 IDs, ptrace-shaped columns
@@ -1059,6 +1126,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     with only the double-green core past it.
     """
     return {
+        # -- new in r5 (never driver-verified) --
+        "metric_gauge_last": q_metric_gauge_last,
+        "metric_temporality": q_metric_temporality,
+        "metric_summary": q_metric_summary,
         # -- never driver-verified (r3 window miss) or changed in r4 --
         "embedding_quantize": q_embedding_quantize,
         "ann_quantized_recall": q_ann_quantized_recall,
@@ -1478,6 +1549,54 @@ def oracle_sql() -> dict[str, str]:
         + exphist_mod.exponential_histogram_sql(
             "(SELECT tool_parsed AS tool, latency_ms FROM parsed)",
             "latency_ms", scale=1, lead=",",
+        ),
+        "metric_gauge_last": f"""
+            {p},
+            pts AS (
+              SELECT tool_parsed AS tool, ts, conv_id, turn_idx, latency_ms,
+                     row_number() OVER (
+                       PARTITION BY tool_parsed
+                       ORDER BY ts DESC, conv_id DESC, turn_idx DESC
+                     ) AS rn
+              FROM parsed
+              WHERE tool_parsed IS NOT NULL AND latency_ms IS NOT NULL
+            )
+            SELECT tool,
+                   max(CASE WHEN rn = 1 THEN latency_ms END) AS last_value,
+                   max(ts) AS last_ts,
+                   count(*) AS point_count
+            FROM pts
+            GROUP BY tool
+        """,
+        "metric_temporality": f"""
+            {p},
+            -- delta -> cumulative: running sum per stream (CAST: DuckDB's
+            -- windowed sum(BIGINT) widens to HUGEIT->float64 in the driver)
+            c AS (
+              SELECT conv_id, turn_idx,
+                     COALESCE(bytes, 0) AS delta_in,
+                     CAST(sum(COALESCE(bytes, 0)) OVER (
+                       PARTITION BY conv_id ORDER BY turn_idx
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS BIGINT) AS cumulative
+              FROM parsed
+            ),
+            m AS (
+              SELECT *, cumulative % 20000 AS cum_mod FROM c
+            )
+            -- cumulative -> delta with the OTLP counter-reset rule
+            SELECT conv_id, turn_idx, delta_in, cumulative, cum_mod,
+                   CASE WHEN lag(cum_mod) OVER w IS NULL
+                          OR cum_mod < lag(cum_mod) OVER w
+                        THEN cum_mod
+                        ELSE cum_mod - lag(cum_mod) OVER w END AS delta_out
+            FROM m
+            WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+        """,
+        "metric_summary": f"{p}" + metrics_mod.summary_points_sql(
+            "(SELECT tool_parsed AS tool, latency_ms FROM parsed "
+            "WHERE tool_parsed IS NOT NULL)",
+            "latency_ms", stream_cols=("tool",), quantiles=(0.5, 0.9, 0.99),
         ),
         "spans": traces_mod.spans_oracle_sql(p),
         "nested_attrs": f"""
