@@ -1022,6 +1022,55 @@ def q_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return traces.derive_spans(_parsed(spark, sf_dir))
 
 
+def q_span_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span events (ptrace SpanEvent; generated_spanevent.go:14-35):
+    tool.call at span start, tool.result at span end, exception for
+    error turns — one row per event, flat scalar columns (operators/
+    traces.derive_span_events). Column math + explode; no shuffle."""
+    from opentelemetry_collector_spark.operators import traces
+
+    return traces.derive_span_events(_parsed(spark, sf_dir))
+
+
+def q_span_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span links (ptrace SpanLink; generated_spanlink.go:54-86): each
+    result turn links to the most recent call turn in its conversation
+    — one ignore-nulls running-last window per conversation stream
+    (operators/traces.derive_span_links)."""
+    from opentelemetry_collector_spark.operators import traces
+
+    return traces.derive_span_links(_parsed(spark, sf_dir))
+
+
+def q_trace_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traces JSON envelope round trip (ptrace/json.go:17-53): derive
+    spans, encode one ExportTraceServiceRequest document per
+    conversation (sources/otlp_trace_json.encode_trace_envelope),
+    decode with from_json and flatten back. The oracle is the identity
+    span derivation, so a value-hash match proves
+    decode(encode(spans)) == spans span-for-span — including the
+    omitted-default fields (parentSpanId on root spans, UNSET status)."""
+    from opentelemetry_collector_spark.operators import traces
+    from opentelemetry_collector_spark.sources import otlp_trace_json as otj
+
+    spans = traces.derive_spans(_parsed(spark, sf_dir))
+    env = otj.encode_trace_envelope(spans)
+    flat = otj.decode_trace_envelope(env, carry=["conv_id"])
+    return flat.select(
+        "conv_id",
+        "turn_idx",
+        "trace_id",
+        "span_id",
+        "parent_span_id",
+        "name",
+        "kind",
+        "start_unix_nano",
+        "end_unix_nano",
+        "status_code",
+        (F.col("res_conv") == F.col("conv_id")).alias("roundtrip_ok"),
+    )
+
+
 def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intra-document repetition signals (Gopher/C4 curation rules):
     duplicate-2-gram fraction + top-word share per document, with an
@@ -1130,6 +1179,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metric_gauge_last": q_metric_gauge_last,
         "metric_temporality": q_metric_temporality,
         "metric_summary": q_metric_summary,
+        "span_events": q_span_events,
+        "span_links": q_span_links,
+        "trace_envelope_roundtrip": q_trace_envelope_roundtrip,
         # -- never driver-verified (r3 window miss) or changed in r4 --
         "embedding_quantize": q_embedding_quantize,
         "ann_quantized_recall": q_ann_quantized_recall,
@@ -1599,6 +1651,14 @@ def oracle_sql() -> dict[str, str]:
             "latency_ms", stream_cols=("tool",), quantiles=(0.5, 0.9, 0.99),
         ),
         "spans": traces_mod.spans_oracle_sql(p),
+        "span_events": traces_mod.span_events_oracle_sql(p),
+        "span_links": traces_mod.span_links_oracle_sql(p),
+        # identity oracle: the direct span derivation + roundtrip_ok=TRUE
+        # (a value-hash match proves decode(encode(spans)) == spans)
+        "trace_envelope_roundtrip": traces_mod.spans_oracle_sql(p).replace(
+            "FROM parsed",
+            ", TRUE AS roundtrip_ok\n        FROM parsed", 1,
+        ),
         "nested_attrs": f"""
             {p},
             vals AS (

@@ -97,3 +97,166 @@ def spans_oracle_sql(parsed_cte: str) -> str:
                     ELSE {STATUS_UNSET} END AS status_code
         FROM parsed
     """
+
+
+def derive_span_events(parsed: DataFrame) -> DataFrame:
+    """Span events — the time-stamped annotations a reference Span
+    carries (pdata/ptrace/generated_spanevent.go:14-35; Span.Events at
+    generated_span.go:161-168). The transcript turns yield three
+    deterministic event kinds per span:
+
+    * ``tool.call`` at span start for call turns (the tool dispatch),
+      value attribute = the tool name;
+    * ``tool.result`` at span end for result turns (the payload
+      arrival), value attribute = the byte count;
+    * ``exception`` at span end for error turns (severity >= 17) —
+      the OTel exception-event convention, value = status code.
+
+    One row per event (a span can carry several), flat scalar columns
+    so the row set is oracle-hashable. Pure column math + one explode:
+    scan speed, no shuffle."""
+    start_ns = F.unix_timestamp("ts").cast("bigint") * F.lit(1_000_000_000)
+    dur_ns = F.floor(
+        F.coalesce(F.col("latency_ms"), F.lit(0.0)) * F.lit(1_000_000.0)
+    ).cast("bigint")
+    end_ns = start_ns + dur_ns
+    ev = F.array_compact(
+        F.array(
+            F.when(
+                F.col("tool_parsed").isNotNull(),
+                F.struct(
+                    F.lit("tool.call").alias("event_name"),
+                    start_ns.alias("time_unix_nano"),
+                    F.col("tool_parsed").alias("value"),
+                ),
+            ),
+            F.when(
+                F.col("bytes").isNotNull(),
+                F.struct(
+                    F.lit("tool.result").alias("event_name"),
+                    end_ns.alias("time_unix_nano"),
+                    F.col("bytes").cast("string").alias("value"),
+                ),
+            ),
+            F.when(
+                F.col("severity_num") >= 17,
+                F.struct(
+                    F.lit("exception").alias("event_name"),
+                    end_ns.alias("time_unix_nano"),
+                    F.coalesce(
+                        F.col("status_code").cast("string"), F.lit("")
+                    ).alias("value"),
+                ),
+            ),
+        )
+    )
+    return (
+        parsed.select(
+            "conv_id",
+            "turn_idx",
+            span_id_expr(F.col("conv_id"), F.col("turn_idx")).alias("span_id"),
+            F.explode(ev).alias("e"),
+        )
+        .select(
+            "conv_id", "turn_idx", "span_id",
+            F.col("e.event_name").alias("event_name"),
+            F.col("e.time_unix_nano").alias("time_unix_nano"),
+            F.col("e.value").alias("value"),
+        )
+    )
+
+
+def derive_span_links(parsed: DataFrame) -> DataFrame:
+    """Span links — cross-span references (generated_spanlink.go:54-86;
+    Span.Links at generated_span.go:178). Each RESULT turn links back
+    to the most recent CALL turn in the conversation (the request it
+    answers) — the call/response correlation the reference models as a
+    link rather than a parent edge (the parent chain is strict turn
+    order). The linked span id resolves with one ignore-nulls running
+    ``last`` window per conversation — per-stream state stays in its
+    conversation partition at any scale."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_call = F.last(
+        F.when(F.col("event_kind") == "call", F.col("turn_idx")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        parsed.withColumn("_link_turn", last_call)
+        .filter(
+            (F.col("event_kind") == "result") & F.col("_link_turn").isNotNull()
+        )
+        .select(
+            "conv_id",
+            "turn_idx",
+            span_id_expr(F.col("conv_id"), F.col("turn_idx")).alias("span_id"),
+            F.md5(F.col("conv_id")).alias("link_trace_id"),
+            span_id_expr(F.col("conv_id"), F.col("_link_turn"))
+            .alias("link_span_id"),
+            F.col("_link_turn").alias("link_turn_idx"),
+            F.lit("tool.request").alias("link_type"),
+        )
+    )
+
+
+def span_events_oracle_sql(parsed_cte: str) -> str:
+    """DuckDB twin of :func:`derive_span_events` (same three event
+    derivations, same hex span ids, UNION ALL instead of explode)."""
+    sid = "substring(md5(conv_id || ':' || CAST(turn_idx AS VARCHAR)), 1, 16)"
+    start = "CAST(floor(epoch(ts)) AS BIGINT) * 1000000000"
+    end = (
+        f"{start} + CAST(floor(COALESCE(latency_ms, 0) * 1000000.0) AS BIGINT)"
+    )
+    return f"""
+        {parsed_cte}
+        SELECT conv_id, turn_idx, {sid} AS span_id,
+               'tool.call' AS event_name,
+               {start} AS time_unix_nano,
+               tool_parsed AS value
+        FROM parsed WHERE tool_parsed IS NOT NULL
+        UNION ALL
+        SELECT conv_id, turn_idx, {sid} AS span_id,
+               'tool.result' AS event_name,
+               {end} AS time_unix_nano,
+               CAST(bytes AS VARCHAR) AS value
+        FROM parsed WHERE bytes IS NOT NULL
+        UNION ALL
+        SELECT conv_id, turn_idx, {sid} AS span_id,
+               'exception' AS event_name,
+               {end} AS time_unix_nano,
+               COALESCE(CAST(status_code AS VARCHAR), '') AS value
+        FROM parsed WHERE severity_num >= 17
+    """
+
+
+def span_links_oracle_sql(parsed_cte: str) -> str:
+    """DuckDB twin of :func:`derive_span_links` (ignore-nulls running
+    last over the conversation stream)."""
+    sid = "substring(md5(conv_id || ':' || CAST(turn_idx AS VARCHAR)), 1, 16)"
+    lsid = (
+        "substring(md5(conv_id || ':' || CAST(_link_turn AS VARCHAR)), 1, 16)"
+    )
+    return f"""
+        {parsed_cte},
+        lk AS (
+          SELECT conv_id, turn_idx, event_kind,
+                 last_value(CASE WHEN event_kind = 'call' THEN turn_idx END
+                            IGNORE NULLS) OVER (
+                   PARTITION BY conv_id ORDER BY turn_idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ) AS _link_turn
+          FROM parsed
+        )
+        SELECT conv_id, turn_idx, {sid} AS span_id,
+               md5(conv_id) AS link_trace_id,
+               {lsid} AS link_span_id,
+               _link_turn AS link_turn_idx,
+               'tool.request' AS link_type
+        FROM lk
+        WHERE event_kind = 'result' AND _link_turn IS NOT NULL
+    """
