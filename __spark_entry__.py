@@ -1042,6 +1042,31 @@ def q_span_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     return traces.derive_span_links(_parsed(spark, sf_dir))
 
 
+def q_metrics_proto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OTLP metrics protobuf wire round trip (pdata/pmetric/pb.go
+    analog; field layout from the reference's generated marshalers —
+    see sources/otlp_proto.py metrics section): aggregate the scale-2
+    exponential histogram, encode one MetricsData proto per tool
+    (dense bucket arrays, sint32 zigzag scale/offset, fixed64 counts),
+    decode with the generic wire walker and re-sparsify. The oracle is
+    the direct exp_histogram aggregation, so a value-hash match proves
+    decode(encode(hist)) == hist bucket-for-bucket, bounds included
+    (re-derived from idx+scale with the shared round-6 math)."""
+    from opentelemetry_collector_spark.operators import exphist
+    from opentelemetry_collector_spark.sources import otlp_proto as opb
+
+    d = _parsed(spark, sf_dir).select(
+        F.col("tool_parsed").alias("tool"), "latency_ms"
+    )
+    hist = exphist.exponential_histogram(d, "latency_ms", scale=2)
+    env = opb.encode_metrics_proto(hist, "latency_ms", "ms", scale=2)
+    back = opb.decode_metrics_proto(env, group_col="tool")
+    lo, hi = exphist.bucket_bounds(2)
+    return back.select(
+        "tool", "sign", "idx", "n", lo.alias("lo"), hi.alias("hi")
+    )
+
+
 def q_trace_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Traces JSON envelope round trip (ptrace/json.go:17-53): derive
     spans, encode one ExportTraceServiceRequest document per
@@ -1182,6 +1207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_events": q_span_events,
         "span_links": q_span_links,
         "trace_envelope_roundtrip": q_trace_envelope_roundtrip,
+        "metrics_proto_roundtrip": q_metrics_proto_roundtrip,
         # -- never driver-verified (r3 window miss) or changed in r4 --
         "embedding_quantize": q_embedding_quantize,
         "ann_quantized_recall": q_ann_quantized_recall,
@@ -1653,6 +1679,13 @@ def oracle_sql() -> dict[str, str]:
         "spans": traces_mod.spans_oracle_sql(p),
         "span_events": traces_mod.span_events_oracle_sql(p),
         "span_links": traces_mod.span_links_oracle_sql(p),
+        # identity oracle: the direct scale-2 histogram (a value-hash
+        # match proves decode(encode(hist)) == hist bucket-for-bucket)
+        "metrics_proto_roundtrip": f"{p}"
+        + exphist_mod.exponential_histogram_sql(
+            "(SELECT tool_parsed AS tool, latency_ms FROM parsed)",
+            "latency_ms", scale=2, lead=",",
+        ),
         # identity oracle: the direct span derivation + roundtrip_ok=TRUE
         # (a value-hash match proves decode(encode(spans)) == spans)
         "trace_envelope_roundtrip": traces_mod.spans_oracle_sql(p).replace(

@@ -188,3 +188,17 @@ def exponential_histogram_sql(
         FROM ehist_pts
         GROUP BY {g}, sign, idx
     """
+
+
+def bucket_bounds(scale: int):
+    """(lo, hi) bound Columns for an ``idx`` column at ``scale`` — the
+    same round-6 expressions exponential_histogram emits, shared so
+    wire decoders can re-derive bounds bit-identically. NULL for the
+    zero bucket (idx NULL)."""
+    base_log2 = float(2 ** -scale)
+    lo = F.round(F.pow(F.lit(2.0), F.col("idx") * F.lit(base_log2)), 6)
+    hi = F.round(F.pow(F.lit(2.0), (F.col("idx") + 1) * F.lit(base_log2)), 6)
+    return (
+        F.when(F.col("idx").isNotNull(), lo),
+        F.when(F.col("idx").isNotNull(), hi),
+    )

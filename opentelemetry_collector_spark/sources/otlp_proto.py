@@ -589,3 +589,391 @@ def write_proto_files(df: DataFrame, path: str, wire_col: str = "wire") -> int:
     finally:
         enc.unpersist()
     return n
+
+
+# ---------------------------------------------------------------------------
+# metrics signal (metrics/v1/metrics.proto): MetricsData wire codec
+# ---------------------------------------------------------------------------
+# Field layout from the reference's generated marshalers:
+#   MetricsData{resource_metrics=1}; ResourceMetrics{resource=1,
+#   scope_metrics=2} (generated_proto_resourcemetrics.go:228-243);
+#   ScopeMetrics{scope=1, metrics=2}; Metric{name=1, description=2,
+#   unit=3, oneof data: gauge=5, sum=7, exponential_histogram=10}
+#   (generated_proto_metric.go:513-578);
+#   ExponentialHistogram{data_points=1, aggregation_temporality=2};
+#   ExponentialHistogramDataPoint{attributes=1, count=4 fixed64,
+#   scale=6 sint32, zero_count=7 fixed64, positive=8, negative=9 —
+#   positive/negative ALWAYS serialized, even empty}
+#   (generated_proto_exponentialhistogramdatapoint.go:355-407);
+#   Buckets{offset=1 sint32, bucket_counts=2 packed uint64}
+#   (generated_proto_exponentialhistogramdatapointbuckets.go);
+#   NumberDataPoint{attributes=7 (!), start=2, time=3,
+#   oneof value: as_double=4 fixed64, as_int=6 sfixed64 — oneof always
+#   written when set} (generated_proto_numberdatapoint.go:355+);
+#   Sum{data_points=1, aggregation_temporality=2, is_monotonic=3}.
+
+AGG_TEMPORALITY_DELTA = 1
+AGG_TEMPORALITY_CUMULATIVE = 2
+
+
+def _sint_field(field: int, n: int) -> bytes:
+    """sint32 zigzag varint (scale/offset); proto3 omits 0."""
+    if not n:
+        return b""
+    zz = ((n << 1) ^ (n >> 31)) & 0xFFFFFFFF
+    return _key(field, _WT_VARINT) + _varint(zz)
+
+
+def _unzigzag(zz: int) -> int:
+    return (zz >> 1) ^ -(zz & 1)
+
+
+def _eh_buckets(offset: int, counts: list[int]) -> bytes:
+    body = _sint_field(1, offset)
+    if counts:
+        packed = b"".join(_varint(c) for c in counts)
+        body += _key(2, _WT_LEN) + _varint(len(packed)) + packed
+    return body
+
+
+def encode_exp_histogram_metric(
+    name: str,
+    unit: str,
+    points: list[dict],
+    temporality: int = AGG_TEMPORALITY_CUMULATIVE,
+) -> bytes:
+    """One Metric{exponential_histogram} message. Each point dict:
+    attrs (list[(key, str value)]), count, zero_count, scale,
+    pos_offset, pos_counts, neg_offset, neg_counts. Canonical Go byte
+    order: positive/negative bucket messages are ALWAYS present (the
+    reference marshals them unconditionally), everything else follows
+    proto3 zero-omission."""
+    dps = b""
+    for pt in points:
+        dp = b"".join(
+            _msg_field(1, _keyvalue(k, _any_string(v)))
+            for k, v in pt.get("attrs", [])
+        )
+        dp += _fixed64_field(4, pt.get("count", 0))
+        dp += _sint_field(6, pt.get("scale", 0))
+        dp += _fixed64_field(7, pt.get("zero_count", 0))
+        dp += _msg_field(
+            8, _eh_buckets(pt.get("pos_offset", 0), pt.get("pos_counts", []))
+        )
+        dp += _msg_field(
+            9, _eh_buckets(pt.get("neg_offset", 0), pt.get("neg_counts", []))
+        )
+        dps += _msg_field(1, dp)
+    eh = dps + _varint_field(2, temporality)
+    return _str_field(1, name) + _str_field(3, unit) + _msg_field(10, eh)
+
+
+def encode_number_metric(
+    name: str,
+    unit: str,
+    points: list[dict],
+    kind: str = "gauge",
+    temporality: int = AGG_TEMPORALITY_CUMULATIVE,
+    monotonic: bool = False,
+) -> bytes:
+    """One Metric{gauge|sum} message. Each point dict: attrs, time
+    (unix nano), and exactly one of as_int / as_double. The oneof value
+    is always written when set (sfixed64/fixed64 8-byte), matching the
+    reference's NumberDataPoint marshaler; attributes are field 7 and
+    lead the byte order (the generated marshaler writes them first)."""
+    dps = b""
+    for pt in points:
+        dp = b"".join(
+            _msg_field(7, _keyvalue(k, _any_string(v)))
+            for k, v in pt.get("attrs", [])
+        )
+        dp += _fixed64_field(2, pt.get("start_time", 0))
+        dp += _fixed64_field(3, pt.get("time", 0))
+        if "as_double" in pt:
+            import struct as _struct
+
+            dp += _key(4, _WT_FIXED64) + _struct.pack("<d", pt["as_double"])
+        elif "as_int" in pt:
+            dp += _key(6, _WT_FIXED64) + (
+                int(pt["as_int"]) & 0xFFFFFFFFFFFFFFFF
+            ).to_bytes(8, "little")
+        dps += _msg_field(1, dp)
+    if kind == "gauge":
+        return _str_field(1, name) + _str_field(3, unit) + _msg_field(5, dps)
+    body = dps + _varint_field(2, temporality)
+    if monotonic:
+        body += _key(3, _WT_VARINT) + b"\x01"
+    return _str_field(1, name) + _str_field(3, unit) + _msg_field(7, body)
+
+
+def encode_resource_metrics(
+    resource_attrs: list[tuple[str, str]],
+    scope_name: str,
+    metrics: list[bytes],
+) -> bytes:
+    """MetricsData{ResourceMetrics{resource, ScopeMetrics{scope,
+    metrics…}}} — the same 3-level envelope shape as logs/traces."""
+    resource = b"".join(
+        _keyvalue(k, _any_string(v)) for k, v in resource_attrs
+    )
+    sm = _msg_field(1, _str_field(1, scope_name)) + b"".join(
+        _msg_field(2, m) for m in metrics
+    )
+    body = _msg_field(1, _msg_field(1, resource)) + _msg_field(2, sm)
+    return _msg_field(1, body)
+
+
+def _decode_attrs(pairs: list[bytes]) -> dict:
+    out = {}
+    for kv in pairs:
+        k, v = "", ""
+        for f, _, val in _fields(kv):
+            if f == 1:
+                k = val.decode("utf-8")
+            elif f == 2:
+                v = _any_to_str(val)
+        out[k] = v
+    return out
+
+
+def _decode_eh_buckets(buf: bytes) -> tuple[int, list[int]]:
+    offset, counts = 0, []
+    for f, wt, v in _fields(buf):
+        if f == 1:
+            offset = _unzigzag(v)
+        elif f == 2:
+            if wt == _WT_LEN:  # packed
+                i = 0
+                while i < len(v):
+                    c, i = _read_varint(v, i)
+                    counts.append(c)
+            else:
+                counts.append(v)
+    return offset, counts
+
+
+def decode_metrics(buf: bytes) -> list[dict]:
+    """MetricsData bytes → one dict per data point: metric name/unit/
+    type, resource + point attributes, and the type-specific payload
+    (exp-histogram buckets or number value). Inverse of the encoders
+    above for the fields this engine carries."""
+    out = []
+    for _, _, rm in _fields(buf):
+        res_attrs: dict = {}
+        for f1, _, v1 in _fields(rm):
+            if f1 == 1:  # resource
+                for f2, _, v2 in _fields(v1):
+                    if f2 == 1:
+                        res_attrs.update(_decode_attrs([v2]))
+            elif f1 == 2:  # scope_metrics
+                scope_name = ""
+                for f2, _, v2 in _fields(v1):
+                    if f2 == 1:
+                        for f3, _, v3 in _fields(v2):
+                            if f3 == 1:
+                                scope_name = v3.decode("utf-8")
+                    elif f2 == 2:  # metric
+                        out.extend(
+                            _decode_metric(v2, res_attrs, scope_name)
+                        )
+    return out
+
+
+def _decode_metric(buf: bytes, res_attrs: dict, scope_name: str) -> list[dict]:
+    import struct as _struct
+
+    name, unit = "", ""
+    pts: list[dict] = []
+    mtype = ""
+    temporality = 0
+    monotonic = False
+    for f, wt, v in _fields(buf):
+        if f == 1:
+            name = v.decode("utf-8")
+        elif f == 3:
+            unit = v.decode("utf-8")
+        elif f in (5, 7):  # gauge / sum
+            mtype = "gauge" if f == 5 else "sum"
+            for f2, wt2, v2 in _fields(v):
+                if f2 == 1:  # NumberDataPoint
+                    pt: dict = {"attrs": {}, "time": 0}
+                    for f3, wt3, v3 in _fields(v2):
+                        if f3 == 7:
+                            pt["attrs"].update(_decode_attrs([v3]))
+                        elif f3 == 2:
+                            pt["start_time"] = v3
+                        elif f3 == 3:
+                            pt["time"] = v3
+                        elif f3 == 4:
+                            pt["as_double"] = _struct.unpack(
+                                "<d", int(v3).to_bytes(8, "little")
+                            )[0]
+                        elif f3 == 6:
+                            pt["as_int"] = (
+                                v3 if v3 < (1 << 63) else v3 - (1 << 64)
+                            )
+                    pts.append(pt)
+                elif f2 == 2:
+                    temporality = v2
+                elif f2 == 3:
+                    monotonic = bool(v2)
+        elif f == 10:  # exponential_histogram
+            mtype = "exponential_histogram"
+            for f2, _, v2 in _fields(v):
+                if f2 == 1:  # data point
+                    pt = {
+                        "attrs": {}, "count": 0, "zero_count": 0, "scale": 0,
+                        "pos_offset": 0, "pos_counts": [],
+                        "neg_offset": 0, "neg_counts": [],
+                    }
+                    for f3, wt3, v3 in _fields(v2):
+                        if f3 == 1:
+                            pt["attrs"].update(_decode_attrs([v3]))
+                        elif f3 == 4:
+                            pt["count"] = v3
+                        elif f3 == 6:
+                            pt["scale"] = _unzigzag(v3)
+                        elif f3 == 7:
+                            pt["zero_count"] = v3
+                        elif f3 == 8:
+                            pt["pos_offset"], pt["pos_counts"] = (
+                                _decode_eh_buckets(v3)
+                            )
+                        elif f3 == 9:
+                            pt["neg_offset"], pt["neg_counts"] = (
+                                _decode_eh_buckets(v3)
+                            )
+                    pts.append(pt)
+                elif f2 == 2:
+                    temporality = v2
+    return [
+        {
+            "res_attrs": dict(res_attrs),
+            "scope_name": scope_name,
+            "metric_name": name,
+            "unit": unit,
+            "type": mtype,
+            "temporality": temporality,
+            "monotonic": monotonic,
+            **pt,
+        }
+        for pt in pts
+    ]
+
+
+def encode_metrics_proto(
+    hist: DataFrame,
+    metric_name: str = "latency_ms",
+    unit: str = "ms",
+    scale: int = 2,
+    group_col: str = "tool",
+) -> DataFrame:
+    """Exponential-histogram rows (operators/exphist output: group,
+    sign, idx, n) → one MetricsData proto per group: the group value
+    becomes the resource attribute, one ExponentialHistogramDataPoint
+    carries dense positive/negative bucket arrays (offset = min index)
+    plus the zero bucket count. Grouping is declarative (one
+    collect_list per group — bounded: ~160 occupied buckets span the
+    float range); only the struct→bytes step crosses into an
+    Arrow-batched UDF. Returns (group, wire: binary)."""
+    rows = hist.groupBy(group_col).agg(
+        F.collect_list(
+            F.struct(
+                F.col("sign").cast("int").alias("sign"),
+                F.col("idx").cast("bigint").alias("idx"),
+                F.col("n").cast("bigint").alias("n"),
+            )
+        ).alias("buckets")
+    )
+
+    @pandas_udf("binary")
+    def _enc(group: pd.Series, buckets_s: pd.Series) -> pd.Series:
+        out = []
+        for g, bk in zip(group, buckets_s):
+            pos = sorted(
+                (int(b["idx"]), int(b["n"])) for b in bk if b["sign"] == 1
+            )
+            neg = sorted(
+                (int(b["idx"]), int(b["n"])) for b in bk if b["sign"] == -1
+            )
+            zero = sum(int(b["n"]) for b in bk if b["sign"] == 0)
+            total = sum(int(b["n"]) for b in bk)
+
+            def dense(pairs):
+                if not pairs:
+                    return 0, []
+                off = pairs[0][0]
+                counts = [0] * (pairs[-1][0] - off + 1)
+                for i, c in pairs:
+                    counts[i - off] = c
+                return off, counts
+
+            po, pc = dense(pos)
+            no, nc = dense(neg)
+            # OTLP attributes cannot carry null — a NULL group encodes
+            # as an ABSENT attribute (unset), and decode restores None
+            attrs = [] if g is None else [(group_col, str(g))]
+            metric = encode_exp_histogram_metric(
+                metric_name, unit,
+                [{
+                    "attrs": attrs,
+                    "count": total, "zero_count": zero, "scale": scale,
+                    "pos_offset": po, "pos_counts": pc,
+                    "neg_offset": no, "neg_counts": nc,
+                }],
+            )
+            out.append(
+                encode_resource_metrics(attrs, "transcripts", [metric])
+            )
+        return pd.Series(out)
+
+    return rows.select(group_col, _enc(group_col, "buckets").alias("wire"))
+
+
+_DECODED_EH_SCHEMA = (
+    "grp string, scale int, sign int, idx bigint, n bigint"
+)
+
+
+def decode_metrics_proto(
+    df: DataFrame, wire_col: str = "wire", group_col: str = "tool"
+) -> DataFrame:
+    """(…, wire) → exponential-histogram rows (group, sign, idx, n) —
+    the exact inverse of encode_metrics_proto: dense bucket arrays
+    re-sparsify (zero counts drop), the zero bucket returns as sign 0 /
+    idx NULL. Arrow-batched decode + explode."""
+
+    @pandas_udf(f"array<struct<{_DECODED_EH_SCHEMA}>>")
+    def _dec(wire: pd.Series) -> pd.Series:
+        out = []
+        for b in wire:
+            rows = []
+            for pt in decode_metrics(bytes(b)):
+                if pt["type"] != "exponential_histogram":
+                    continue
+                g = pt["attrs"].get(group_col) or pt["res_attrs"].get(
+                    group_col
+                )
+                sc = pt["scale"]
+                if pt["zero_count"]:
+                    rows.append((g, sc, 0, None, pt["zero_count"]))
+                for sign, off, counts in (
+                    (1, pt["pos_offset"], pt["pos_counts"]),
+                    (-1, pt["neg_offset"], pt["neg_counts"]),
+                ):
+                    for i, c in enumerate(counts):
+                        if c:
+                            rows.append((g, sc, sign, off + i, c))
+            out.append(rows)
+        return pd.Series(out)
+
+    return (
+        df.select(F.explode(_dec(F.col(wire_col))).alias("r"))
+        .select(
+            F.col("r.grp").alias(group_col),
+            F.col("r.scale").alias("scale"),
+            F.col("r.sign").alias("sign"),
+            F.col("r.idx").alias("idx"),
+            F.col("r.n").alias("n"),
+        )
+    )

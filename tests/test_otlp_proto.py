@@ -206,3 +206,95 @@ def test_spark_proto_roundtrip(spark, sf_dir):
         sev, text = expect[(r["conv_id"], r["turn_idx"])]
         assert r["severity_number"] == sev and r["body_text"] == text
     assert len(rows) == len(expect)
+
+
+# --- metrics wire codec (metrics/v1/metrics.proto) --------------------------
+
+
+def test_metrics_exp_histogram_golden_bytes():
+    """Hand-derived MetricsData for one exp-histogram point: scale 2
+    (zigzag 4), positive offset 3 (zigzag 6) with packed counts [1,2],
+    count 3 fixed64, positive/negative bucket messages always present
+    (the reference marshals them unconditionally)."""
+    from opentelemetry_collector_spark.sources import otlp_proto as m
+
+    metric = m.encode_exp_histogram_metric(
+        "lat", "ms",
+        [{"attrs": [("tool", "s")], "count": 3, "zero_count": 0,
+          "scale": 2, "pos_offset": 3, "pos_counts": [1, 2],
+          "neg_offset": 0, "neg_counts": []}],
+    )
+    expect = bytes.fromhex(
+        "0a" + "03" + "6c6174"          # 1: name "lat"
+        + "1a" + "02" + "6d73"           # 3: unit "ms"
+        + "52" + "26"                    # 10: exponential_histogram, len 38
+        + "0a" + "22"                    # 1: data_point, len 34
+        + "0a" + "0b"                    # 1: attributes KeyValue, len 11
+        + "0a04" + "746f6f6c"            # 1: key "tool"
+        + "1203" + "0a01" + "73"         # 2: AnyValue{1:"s"}
+        + "21" + "0300000000000000"      # 4: count fixed64 = 3
+        + "30" + "04"                    # 6: scale sint32 zigzag(2)=4
+        + "42" + "06"                    # 8: positive Buckets, len 6
+        + "08" + "06"                    # 1: offset zigzag(3)=6
+        + "12" + "02" + "0102"           # 2: packed counts [1,2]
+        + "4a" + "00"                    # 9: negative Buckets, empty
+        + "10" + "02"                    # 2: temporality CUMULATIVE
+    )
+    assert metric == expect, (metric.hex(), expect.hex())
+
+
+def test_metrics_number_point_roundtrip():
+    """Gauge and Sum number points survive encode→decode, including
+    the always-written oneof value (as_int 0), negative ints, doubles,
+    monotonic + temporality flags, and attributes (field 7)."""
+    from opentelemetry_collector_spark.sources import otlp_proto as m
+
+    gauge = m.encode_number_metric(
+        "g", "1",
+        [{"attrs": [("tool", "py")], "time": 123, "as_double": -2.5},
+         {"attrs": [], "time": 124, "as_int": 0}],
+        kind="gauge",
+    )
+    s = m.encode_number_metric(
+        "s", "By",
+        [{"attrs": [("tool", "ed")], "time": 125, "as_int": -7}],
+        kind="sum", temporality=m.AGG_TEMPORALITY_DELTA, monotonic=True,
+    )
+    env = m.encode_resource_metrics([("conv.id", "c1")], "scope", [gauge, s])
+    pts = m.decode_metrics(env)
+    assert [p["type"] for p in pts] == ["gauge", "gauge", "sum"]
+    g0, g1, s0 = pts
+    assert g0["as_double"] == -2.5 and g0["attrs"] == {"tool": "py"}
+    assert g1["as_int"] == 0 and g1["time"] == 124
+    assert s0["as_int"] == -7 and s0["monotonic"] is True
+    assert s0["temporality"] == m.AGG_TEMPORALITY_DELTA
+    assert all(p["res_attrs"] == {"conv.id": "c1"} for p in pts)
+    assert all(p["scope_name"] == "scope" for p in pts)
+
+
+def test_metrics_proto_spark_roundtrip(spark):
+    """decode(encode(hist)) == hist through the Spark wrappers,
+    including a NULL group (absent attribute on the wire) and negative
+    bucket indexes (values < 1)."""
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_spark.operators import exphist
+    from opentelemetry_collector_spark.sources import otlp_proto as m
+
+    df = spark.createDataFrame(
+        [("a", 0.3), ("a", 5.0), ("a", 5.0), ("a", 0.0), (None, 2.0)],
+        "tool string, v double",
+    )
+    hist = exphist.exponential_histogram(df, "v", scale=2)
+    back = m.decode_metrics_proto(
+        m.encode_metrics_proto(hist, "v", "1", scale=2), group_col="tool"
+    )
+    def rows(df):
+        return sorted(
+            ((r["tool"], r["sign"], r["idx"], r["n"])
+             for r in df.select("tool", "sign", "idx", "n").collect()),
+            key=lambda t: tuple("" if x is None else str(x) for x in t),
+        )
+
+    a, b = rows(hist), rows(back)
+    assert a == b and len(a) == 4
