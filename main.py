@@ -36,7 +36,15 @@ def main(argv: list[str] | None = None) -> int:
                     help="run the corpus-curation job over the documents "
                          "table: near-dup keep-one + quality/language gate")
     ap.add_argument("--curate-quality-min", type=float, default=0.5)
+    ap.add_argument("--feature-gates", default="",
+                    help="comma-delimited gate ids; prefix '-' disables, "
+                         "'+' or bare enables (featuregate/flag.go grammar)")
     args = ap.parse_args(argv)
+
+    from opentelemetry_collector_spark.plans.featuregate import global_registry
+
+    # fail fast on unknown/invalid gates BEFORE starting the session
+    global_registry().apply_flag(args.feature_gates)
 
     from opentelemetry_collector_spark.session import get_spark
 
