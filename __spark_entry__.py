@@ -1198,6 +1198,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     consolidated into debug_exporter and text_metrics (same operators,
     all columns, one slot each) so the whole contract fits the window
     with only the double-green core past it.
+
+    r5 ranking: the 7 new rows (metric gauge/temporality/summary, span
+    events/links, trace + metrics wire round trips) lead, then the
+    rows whose code or oracle changed this round (embedding_quantize,
+    pack_sequences, streaming_accounting, proto_roundtrip/debug/ann_lsh
+    via their changed operators); every past-window entry was driver-
+    green in r4 or earlier AND is untouched since.
     """
     return {
         # -- new in r5 (never driver-verified) --
@@ -1217,6 +1224,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngrams": q_top_ngrams,
         "chunk_docs": q_chunk_docs,
         "pack_sequences": q_pack_sequences,
+        # changed in r5 (parquet sink replaced the memory sink): needs a
+        # fresh driver row even though it is rows-only by design
+        "streaming_accounting": q_streaming_accounting,
         # -- new / consolidated in r4 --
         "text_metrics": q_text_metrics,
         "debug_exporter": q_debug_exporter,
@@ -1256,7 +1266,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_convs_per_tool": q_top_convs_per_tool,
         "multi_route": q_multi_route,
         "rollup_accounting": q_rollup_accounting,
-        "streaming_accounting": q_streaming_accounting,
         "union_sinks": q_union_sinks,
         "turn_order": q_turn_order,
         "conv_stats": q_conv_stats,
