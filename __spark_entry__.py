@@ -29,6 +29,7 @@ from opentelemetry_collector_spark.operators import parse as parse_ops
 from opentelemetry_collector_spark.operators import route as route_ops
 from opentelemetry_collector_spark.operators import exphist as exphist_mod
 from opentelemetry_collector_spark.operators import metrics as metrics_mod
+from opentelemetry_collector_spark.operators import profiles as profiles_mod
 from opentelemetry_collector_spark.operators import textstats as textstats_mod
 from opentelemetry_collector_spark.operators import traces as traces_mod
 from opentelemetry_collector_spark.sources import (
@@ -1042,6 +1043,42 @@ def q_span_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     return traces.derive_span_links(_parsed(spark, sf_dir))
 
 
+def q_profile_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profiles signal, interned dictionary (pprofile
+    ProfilesDictionary; generated_profilesdictionary.go:51-83): the
+    flat string/function/location view with dense deterministic
+    indices, computed by a distributed two-phase dense rank
+    (operators/profiles.dense_index) — never a one-task global sort."""
+    from opentelemetry_collector_spark.operators import profiles
+
+    t = profiles.dictionary_tables(_parsed(spark, sf_dir))
+    return (
+        t["strings"]
+        .join(
+            t["functions"],
+            t["strings"]["strindex"] == t["functions"]["name_strindex"],
+        )
+        .join(t["locations"], "function_idx")
+        .select(
+            "strindex", "s", "function_idx", "name_strindex", "location_idx"
+        )
+    )
+
+
+def q_profile_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profiles signal, dictionary round trip (pprofile Sample/Stack
+    model; dictionary_helpers.go:20-77 resolution pass): build the
+    interned dictionary+samples from the turns, then RESOLVE every
+    sample back through stack → location → function → string. The
+    oracle computes the tool paths directly, so a value match proves
+    the whole normalize/denormalize cycle — per-conversation flame
+    stacks, leaf-first."""
+    from opentelemetry_collector_spark.operators import profiles
+
+    t = profiles.dictionary_tables(_parsed(spark, sf_dir))
+    return profiles.resolve_samples(t)
+
+
 def q_metrics_proto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OTLP metrics protobuf wire round trip (pdata/pmetric/pb.go
     analog; field layout from the reference's generated marshalers —
@@ -1199,8 +1236,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all columns, one slot each) so the whole contract fits the window
     with only the double-green core past it.
 
-    r5 ranking: the 7 new rows (metric gauge/temporality/summary, span
-    events/links, trace + metrics wire round trips) lead, then the
+    r5 ranking: the 9 new rows (metric gauge/temporality/summary, span
+    events/links, trace + metrics wire round trips, profile
+    dictionary/samples) lead, then the
     rows whose code or oracle changed this round (embedding_quantize,
     pack_sequences, streaming_accounting, proto_roundtrip/debug/ann_lsh
     via their changed operators); every past-window entry was driver-
@@ -1215,6 +1253,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_links": q_span_links,
         "trace_envelope_roundtrip": q_trace_envelope_roundtrip,
         "metrics_proto_roundtrip": q_metrics_proto_roundtrip,
+        "profile_dictionary": q_profile_dictionary,
+        "profile_samples": q_profile_samples,
         # -- never driver-verified (r3 window miss) or changed in r4 --
         "embedding_quantize": q_embedding_quantize,
         "ann_quantized_recall": q_ann_quantized_recall,
@@ -1688,6 +1728,10 @@ def oracle_sql() -> dict[str, str]:
         "spans": traces_mod.spans_oracle_sql(p),
         "span_events": traces_mod.span_events_oracle_sql(p),
         "span_links": traces_mod.span_links_oracle_sql(p),
+        "profile_dictionary": profiles_mod.dictionary_oracle_sql(p),
+        # identity oracle: the direct tool-path derivation — what the
+        # dictionary normalize/denormalize cycle must reproduce
+        "profile_samples": profiles_mod.samples_oracle_sql(p),
         # identity oracle: the direct scale-2 histogram (a value-hash
         # match proves decode(encode(hist)) == hist bucket-for-bucket)
         "metrics_proto_roundtrip": f"{p}"
