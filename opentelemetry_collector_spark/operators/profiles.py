@@ -78,7 +78,9 @@ def dense_index(df: DataFrame, key_col: str, out_col: str) -> DataFrame:
     (ORDER BY key) - 1`` — which would sort in ONE task — without the
     single-task bottleneck; this is how a 100 TB dictionary-encode
     stays parallel. Both engines derive identical indices (pure
-    lexicographic rank)."""
+    lexicographic rank). The persisted block is released by the
+    ContextCleaner once the returned DataFrame's Python reference
+    drops — same lifecycle as the dedup pair frames."""
     parts = df.repartitionByRange(F.col(key_col)).withColumn(
         "_pid", F.spark_partition_id()
     )

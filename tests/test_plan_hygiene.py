@@ -239,3 +239,61 @@ def test_repetition_aggregations_are_partial(spark, sf_dir):
     plan = _plan(m.queries()["repetition"](spark, sf_dir))
     assert "partial_count" in plan
     assert "partial_max" in plan
+
+
+def test_gauge_last_is_partial_agg_no_window(spark, sf_dir):
+    """gauge_last must plan a partial-aggregated max_by (map-side
+    combine) and NO WindowExec — last-value aggregation never sorts the
+    stream."""
+    import __spark_entry__ as m
+
+    plan = _plan(m.q_metric_gauge_last(spark, str(sf_dir)))
+    assert "partial_max_by" in plan or "partial_" in plan, plan
+    assert "WindowExec" not in plan
+
+
+def test_temporality_windows_partition_by_stream(spark, sf_dir):
+    """Both temporality conversions must plan windows PARTITIONED by
+    the stream key (conv_id) — per-stream state stays in its partition;
+    a global (unpartitioned) window would single-task at scale."""
+    import __spark_entry__ as m
+
+    import re
+
+    plan = _plan(m.q_metric_temporality(spark, str(sf_dir)))
+    # every window spec must be partitioned by a stream key — conv_id
+    # for the conversions, user_id for the upstream transcript
+    # derivation; a spec with NO stream key is a global single-task sort
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan
+    for s in specs:
+        assert "conv_id" in s or "user_id" in s, (s, plan[:500])
+
+
+def test_profile_dictionary_joins_are_small_side(spark, sf_dir):
+    """The profile resolution path joins samples against dictionary
+    tables; the dictionary sides are tiny and must come in as broadcast
+    (or stay sub-shuffle-size) — assert no CartesianProduct and that
+    the resolve plan still runs whole-stage codegen."""
+    import __spark_entry__ as m
+
+    df = m.q_profile_samples(spark, str(sf_dir))
+    df.collect()  # finalize the adaptive plan (AQE re-plans at runtime)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # dictionary sides come in broadcast
+
+
+def test_span_links_window_partitioned_by_conv(spark, sf_dir):
+    import re
+
+    import __spark_entry__ as m
+
+    plan = _plan(m.q_span_links(spark, str(sf_dir)))
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    # link resolution windows partition by conv_id; the upstream
+    # transcript derivation's own window partitions by user_id — no
+    # spec may be stream-key-free (global single-task sort)
+    assert specs and all(
+        "conv_id" in s or "user_id" in s for s in specs
+    ), plan[:800]
