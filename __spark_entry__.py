@@ -1106,17 +1106,24 @@ def q_metrics_proto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_trace_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Traces JSON envelope round trip (ptrace/json.go:17-53): derive
-    spans, encode one ExportTraceServiceRequest document per
-    conversation (sources/otlp_trace_json.encode_trace_envelope),
-    decode with from_json and flatten back. The oracle is the identity
-    span derivation, so a value-hash match proves
-    decode(encode(spans)) == spans span-for-span — including the
-    omitted-default fields (parentSpanId on root spans, UNSET status)."""
+    spans WITH their SpanEvent/SpanLink arrays, encode one
+    ExportTraceServiceRequest document per conversation
+    (sources/otlp_trace_json.encode_trace_envelope), decode with
+    from_json and flatten back. The oracle is the identity span
+    derivation plus directly computed per-span event/link counts, so a
+    value-hash match proves decode(encode(x)) == x span-for-span —
+    including omitted defaults (parentSpanId on root spans, UNSET
+    status, absent events/links arrays)."""
     from opentelemetry_collector_spark.operators import traces
     from opentelemetry_collector_spark.sources import otlp_trace_json as otj
 
-    spans = traces.derive_spans(_parsed(spark, sf_dir))
-    env = otj.encode_trace_envelope(spans)
+    parsed = _parsed(spark, sf_dir)
+    spans = traces.derive_spans(parsed)
+    env = otj.encode_trace_envelope(
+        spans,
+        events=traces.derive_span_events(parsed),
+        links=traces.derive_span_links(parsed),
+    )
     flat = otj.decode_trace_envelope(env, carry=["conv_id"])
     return flat.select(
         "conv_id",
@@ -1129,6 +1136,8 @@ def q_trace_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "start_unix_nano",
         "end_unix_nano",
         "status_code",
+        F.size("events").alias("n_events"),
+        F.size("links").alias("n_links"),
         (F.col("res_conv") == F.col("conv_id")).alias("roundtrip_ok"),
     )
 
@@ -1739,12 +1748,11 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT tool_parsed AS tool, latency_ms FROM parsed)",
             "latency_ms", scale=2, lead=",",
         ),
-        # identity oracle: the direct span derivation + roundtrip_ok=TRUE
-        # (a value-hash match proves decode(encode(spans)) == spans)
-        "trace_envelope_roundtrip": traces_mod.spans_oracle_sql(p).replace(
-            "FROM parsed",
-            ", TRUE AS roundtrip_ok\n        FROM parsed", 1,
-        ),
+        # identity oracle: the direct span derivation + per-span
+        # event/link counts + roundtrip_ok=TRUE (a value-hash match
+        # proves decode(encode(spans+events+links)) == spans, arrays
+        # restored — omitted defaults included)
+        "trace_envelope_roundtrip": traces_mod.spans_events_links_oracle_sql(p),
         "nested_attrs": f"""
             {p},
             vals AS (

@@ -260,3 +260,48 @@ def span_links_oracle_sql(parsed_cte: str) -> str:
         FROM lk
         WHERE event_kind = 'result' AND _link_turn IS NOT NULL
     """
+
+
+def spans_events_links_oracle_sql(parsed_cte: str) -> str:
+    """DuckDB twin for the envelope round trip WITH embedded
+    events/links: the flat span derivation plus per-span event/link
+    COUNTS computed directly (events: one per present tool/bytes/error
+    signal; links: one when a result turn has a prior call), and
+    roundtrip_ok=TRUE — what decode(encode(spans+events+links)) must
+    reproduce."""
+    sid = "substring(md5(conv_id || ':' || CAST(turn_idx AS VARCHAR)), 1, 16)"
+    psid = (
+        "substring(md5(conv_id || ':' || CAST(turn_idx - 1 AS VARCHAR)), 1, 16)"
+    )
+    return f"""
+        {parsed_cte},
+        withlink AS (
+          SELECT *,
+                 last_value(CASE WHEN event_kind = 'call' THEN turn_idx END
+                            IGNORE NULLS) OVER (
+                   PARTITION BY conv_id ORDER BY turn_idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ) AS _link_turn
+          FROM parsed
+        )
+        SELECT conv_id, turn_idx,
+               md5(conv_id) AS trace_id,
+               {sid} AS span_id,
+               CASE WHEN turn_idx > 0 THEN {psid} END AS parent_span_id,
+               COALESCE(tool_parsed, 'none') AS name,
+               CASE WHEN turn_idx = 0 THEN {SPAN_KIND_SERVER}
+                    ELSE {SPAN_KIND_INTERNAL} END AS kind,
+               CAST(floor(epoch(ts)) AS BIGINT) * 1000000000 AS start_unix_nano,
+               CAST(floor(epoch(ts)) AS BIGINT) * 1000000000
+                 + CAST(floor(COALESCE(latency_ms, 0) * 1000000.0) AS BIGINT)
+                 AS end_unix_nano,
+               CASE WHEN severity_num >= 17 THEN {STATUS_ERROR}
+                    ELSE {STATUS_UNSET} END AS status_code,
+               CAST(tool_parsed IS NOT NULL AS INT)
+                 + CAST(bytes IS NOT NULL AS INT)
+                 + CAST(severity_num >= 17 AS INT) AS n_events,
+               CAST(event_kind = 'result' AND _link_turn IS NOT NULL AS INT)
+                 AS n_links,
+               TRUE AS roundtrip_ok
+        FROM withlink
+    """

@@ -90,3 +90,43 @@ def test_trace_envelope_wire_shape(spark):
     assert "parentSpanId" not in s0 and "parentSpanId" in spans[1]
     assert isinstance(s0["startTimeUnixNano"], str)
     assert s0["status"] == {} and spans[2]["status"] == {"code": 2}
+
+
+def test_trace_envelope_round_trip_with_events_links(spark):
+    """Events/links ride inside their span and decode back with full
+    content; spans without any stay array-free on the wire and decode
+    to empty arrays."""
+    import json
+
+    p = _mini_parsed(spark)
+    spans = traces.derive_spans(p)
+    env = otj.encode_trace_envelope(
+        spans,
+        events=traces.derive_span_events(p),
+        links=traces.derive_span_links(p),
+    )
+    wire = env.filter(F.col("conv_id") == "c1").collect()[0]["wire"]
+    doc = json.loads(wire)
+    sp = doc["resourceSpans"][0]["scopeSpans"][0]["spans"]
+    # turn 0: tool.call event, no link
+    assert [e["name"] for e in sp[0]["events"]] == ["tool.call"]
+    assert sp[0]["events"][0]["attributes"][0]["value"]["stringValue"] == "search"
+    assert "links" not in sp[0]
+    # turn 1 (result): tool.result event + a link back to turn 0
+    assert [e["name"] for e in sp[1]["events"]] == ["tool.result"]
+    assert len(sp[1]["links"]) == 1
+    assert sp[1]["links"][0]["spanId"] == sp[0]["spanId"]
+    assert sp[1]["links"][0]["traceId"] == sp[0]["traceId"]
+
+    flat = otj.decode_trace_envelope(env, carry=["conv_id"])
+    got = {
+        (r["conv_id"], r["turn_idx"]): (
+            [e["name"] for e in r["events"]],
+            [(l["traceId"], l["spanId"]) for l in r["links"]],
+        )
+        for r in flat.collect()
+    }
+    assert got[("c1", 0)][0] == ["tool.call"] and got[("c1", 0)][1] == []
+    assert got[("c1", 1)][1] != [] and got[("c1", 1)][0] == ["tool.result"]
+    # c2 turn 0: 'note' turn — no events, no links, arrays decode empty
+    assert got[("c2", 0)] == ([], [])
