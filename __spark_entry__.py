@@ -1079,6 +1079,22 @@ def q_profile_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profiles.resolve_samples(t)
 
 
+def q_profiles_proto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OTLP profiles protobuf wire round trip (the 4th signal's wire
+    story; field layout from the reference's generated marshalers —
+    sources/otlp_profiles_proto.py docstring): one
+    ExportProfilesServiceRequest per conversation with its
+    request-local dictionary, decoded by resolving every sample back
+    through stack → location → line → function → string. The oracle is
+    the DIRECT tool-path derivation (shared with `profile_samples`),
+    so a value-hash match proves decode(encode(turns)) reproduces
+    every resolved sample."""
+    from opentelemetry_collector_spark.sources import otlp_profiles_proto as opp
+
+    env = opp.encode_profiles_proto(_parsed(spark, sf_dir))
+    return opp.decode_profiles_proto(env)
+
+
 def q_metrics_proto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OTLP metrics protobuf wire round trip (pdata/pmetric/pb.go
     analog; field layout from the reference's generated marshalers —
@@ -1264,6 +1280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metrics_proto_roundtrip": q_metrics_proto_roundtrip,
         "profile_dictionary": q_profile_dictionary,
         "profile_samples": q_profile_samples,
+        "profiles_proto_roundtrip": q_profiles_proto_roundtrip,
         # -- never driver-verified (r3 window miss) or changed in r4 --
         "embedding_quantize": q_embedding_quantize,
         "ann_quantized_recall": q_ann_quantized_recall,
@@ -1741,6 +1758,9 @@ def oracle_sql() -> dict[str, str]:
         # identity oracle: the direct tool-path derivation — what the
         # dictionary normalize/denormalize cycle must reproduce
         "profile_samples": profiles_mod.samples_oracle_sql(p),
+        # same identity oracle: the WIRE round trip resolves to the
+        # same sample rows the in-engine dictionary cycle produces
+        "profiles_proto_roundtrip": profiles_mod.samples_oracle_sql(p),
         # identity oracle: the direct scale-2 histogram (a value-hash
         # match proves decode(encode(hist)) == hist bucket-for-bucket)
         "metrics_proto_roundtrip": f"{p}"

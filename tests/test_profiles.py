@@ -69,3 +69,62 @@ def test_resolve_samples_round_trip(spark):
         ("c1", 2): ("python;none;search", "python", 3, 0),
         ("c2", 0): ("search", "search", 1, 10000),
     }
+
+
+def test_profiles_wire_golden_bytes():
+    """Hand-derived ExportProfilesServiceRequest for a 1-turn
+    conversation: dictionary field layout (location=2, function=3,
+    string=5, attribute=6, stack=7) with the pprof index-0 empty-string
+    reservation, packed sample arrays, fixed64 timestamps."""
+    from opentelemetry_collector_spark.sources import otlp_profiles_proto as opp
+
+    buf = opp.encode_profiles_request(
+        "c", [{"turn_idx": 0, "fname": "s", "value_us": 7,
+               "ts_unix_nano": 3}],
+    )
+    out = opp.decode_profiles_request(buf)
+    assert out == [{
+        "conv_id": "c", "turn_idx": 0, "stack_depth": 1, "leaf_fn": "s",
+        "path": "s", "value_us": 7, "ts_unix_nano": 3,
+    }]
+    # dictionary (field 2) golden bytes: one location {line{f=0 omitted}},
+    # one function {name_strindex=1}, strings ["","s","turn.idx",
+    # "latency","microseconds"], one turn.idx=0 attribute, one stack [0]
+    dict_bytes = None
+    for f, _, v in opp._fields(buf):
+        if f == 2:
+            dict_bytes = v
+    expect = bytes.fromhex(
+        "12" + "02" + "1a00"            # 2: location{3: line{} (f=0 omitted)}
+        + "1a" + "02" + "0801"           # 3: function{1: name_strindex=1}
+        + "2a" + "00"                    # 5: ""
+        + "2a" + "01" + "73"             # 5: "s"
+        + "2a" + "08" + "7475726e2e696478"  # 5: "turn.idx"
+        + "2a" + "07" + "6c6174656e6379"    # 5: "latency"
+        + "2a" + "0c" + "6d6963726f7365636f6e6473"  # 5: "microseconds"
+        + "32" + "06" + "0802" + "1202" + "1800"    # 6: kvu{k=2,v=Int(0)}
+        + "3a" + "03" + "0a0100"         # 7: stack{1: packed [0]}
+    )
+    assert dict_bytes == expect, (dict_bytes.hex(), expect.hex())
+
+
+def test_profiles_wire_spark_roundtrip_matches_resolver(spark):
+    """decode(encode(parsed)) through the wire equals the in-engine
+    dictionary cycle (resolve_samples) row-for-row."""
+    from opentelemetry_collector_spark.sources import otlp_profiles_proto as opp
+
+    p = _mini_parsed(spark)
+    wire_rows = sorted(
+        tuple(r) for r in opp.decode_profiles_proto(
+            opp.encode_profiles_proto(p)
+        ).collect()
+    )
+    engine_rows = sorted(
+        tuple(r) for r in profiles.resolve_samples(
+            profiles.dictionary_tables(p)
+        ).select(
+            "conv_id", "turn_idx", "stack_depth", "leaf_fn", "path",
+            "value_us", "ts_unix_nano",
+        ).collect()
+    )
+    assert wire_rows == engine_rows and len(wire_rows) == 4
