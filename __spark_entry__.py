@@ -29,6 +29,7 @@ from opentelemetry_collector_spark.operators import parse as parse_ops
 from opentelemetry_collector_spark.operators import route as route_ops
 from opentelemetry_collector_spark.operators import exphist as exphist_mod
 from opentelemetry_collector_spark.operators import metrics as metrics_mod
+from opentelemetry_collector_spark.operators import mixing as mixing_mod
 from opentelemetry_collector_spark.operators import profiles as profiles_mod
 from opentelemetry_collector_spark.operators import textstats as textstats_mod
 from opentelemetry_collector_spark.operators import traces as traces_mod
@@ -1079,6 +1080,37 @@ def q_profile_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profiles.resolve_samples(t)
 
 
+_MIX_RATES = {"en": 0.8, "fr": 0.5, "de": 0.5, "zh": 0.25}
+_MIX_TARGETS = {"en": 0.5, "fr": 0.15, "de": 0.15, "es": 0.1, "zh": 0.1}
+
+
+def q_mix_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling for training-mix assembly
+    (operators/mixing.stratified_sample): per-language keep rates via
+    an md5-fraction threshold — same rows survive on any partition
+    layout or engine (es absent from the rate map → dropped, the
+    allowlist semantics). One codegen'd scan, no shuffle."""
+    from opentelemetry_collector_spark.operators import mixing
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return mixing.stratified_sample(
+        docs, _MIX_RATES, strat_col="lang", key_col="doc_id"
+    ).select("doc_id", "source", "lang", "n_chars")
+
+
+def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-weight computation (operators/mixing.mixture_weights):
+    per-language corpus share by chars + the up/down-sampling factor to
+    hit a target mix — one partial-aggregated groupBy, mix-table-sized
+    result."""
+    from opentelemetry_collector_spark.operators import mixing
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return mixing.mixture_weights(
+        docs, _MIX_TARGETS, strat_col="lang", size_col="n_chars"
+    )
+
+
 def q_profiles_proto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OTLP profiles protobuf wire round trip (the 4th signal's wire
     story; field layout from the reference's generated marshalers —
@@ -1281,6 +1313,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_dictionary": q_profile_dictionary,
         "profile_samples": q_profile_samples,
         "profiles_proto_roundtrip": q_profiles_proto_roundtrip,
+        "mix_stratified_sample": q_mix_stratified_sample,
+        "mix_weights": q_mix_weights,
         # -- never driver-verified (r3 window miss) or changed in r4 --
         "embedding_quantize": q_embedding_quantize,
         "ann_quantized_recall": q_ann_quantized_recall,
@@ -1761,6 +1795,13 @@ def oracle_sql() -> dict[str, str]:
         # same identity oracle: the WIRE round trip resolves to the
         # same sample rows the in-engine dictionary cycle produces
         "profiles_proto_roundtrip": profiles_mod.samples_oracle_sql(p),
+        "mix_stratified_sample": mixing_mod.stratified_sample_sql(
+            "documents", _MIX_RATES, strat_col="lang", key_col="doc_id",
+            cols="doc_id, source, lang, n_chars",
+        ),
+        "mix_weights": mixing_mod.mixture_weights_sql(
+            "documents", _MIX_TARGETS, strat_col="lang", size_col="n_chars",
+        ),
         # identity oracle: the direct scale-2 histogram (a value-hash
         # match proves decode(encode(hist)) == hist bucket-for-bucket)
         "metrics_proto_roundtrip": f"{p}"
