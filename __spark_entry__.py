@@ -1111,6 +1111,36 @@ def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_metrics_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OTLP/JSON metrics envelope round trip (pmetric/json.go analog):
+    a last-latency Gauge and a monotonic cumulative calls-per-tool Sum
+    encoded as one ExportMetricsServiceRequest document (protobuf-JSON
+    mapping: asInt as string, enums as ints) and decoded back with
+    from_json. Oracle = the direct per-tool aggregates, so a value
+    match proves decode(encode(points)) == points, flags included."""
+    from opentelemetry_collector_spark.operators import metrics
+    from opentelemetry_collector_spark.sources import otlp_metrics_json as omj
+
+    d = _parsed(spark, sf_dir).filter(F.col("tool_parsed").isNotNull())
+    ns = lambda c: F.unix_timestamp(c).cast("bigint") * F.lit(1_000_000_000)  # noqa: E731
+    gauge = metrics.gauge_last(
+        d.select(F.col("tool_parsed").alias("tool"), "ts", "conv_id",
+                 "turn_idx", "latency_ms"),
+        "latency_ms", ts_col="ts", tiebreak_cols=("conv_id", "turn_idx"),
+        stream_cols=("tool",),
+    ).select("tool", "last_value", ns(F.col("last_ts")).alias(
+        "last_ts_unix_nano"))
+    sums = d.groupBy(F.col("tool_parsed").alias("tool")).agg(
+        F.count(F.lit(1)).alias("total"),
+        ns(F.max("ts")).alias("ts_unix_nano"),
+    )
+    env = omj.encode_metrics_json(
+        gauge, sums, gauge_name="latency_last", gauge_unit="ms",
+        sum_name="calls_total", sum_unit="1",
+    )
+    return omj.decode_metrics_json(env)
+
+
 def q_profiles_proto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OTLP profiles protobuf wire round trip (the 4th signal's wire
     story; field layout from the reference's generated marshalers —
@@ -1315,6 +1345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profiles_proto_roundtrip": q_profiles_proto_roundtrip,
         "mix_stratified_sample": q_mix_stratified_sample,
         "mix_weights": q_mix_weights,
+        "metrics_json_roundtrip": q_metrics_json_roundtrip,
         # -- never driver-verified (r3 window miss) or changed in r4 --
         "embedding_quantize": q_embedding_quantize,
         "ann_quantized_recall": q_ann_quantized_recall,
@@ -1802,6 +1833,45 @@ def oracle_sql() -> dict[str, str]:
         "mix_weights": mixing_mod.mixture_weights_sql(
             "documents", _MIX_TARGETS, strat_col="lang", size_col="n_chars",
         ),
+        # identity oracle: the direct per-tool gauge/sum aggregates the
+        # JSON envelope round trip must reproduce (flags included)
+        "metrics_json_roundtrip": f"""
+            {p},
+            g AS (
+              SELECT tool_parsed AS tool, ts, latency_ms,
+                     row_number() OVER (
+                       PARTITION BY tool_parsed
+                       ORDER BY ts DESC, conv_id DESC, turn_idx DESC
+                     ) AS rn
+              FROM parsed
+              WHERE tool_parsed IS NOT NULL AND latency_ms IS NOT NULL
+            ),
+            ga AS (
+              SELECT tool,
+                     max(CASE WHEN rn = 1 THEN latency_ms END) AS as_double,
+                     CAST(floor(epoch(max(ts))) AS BIGINT) * 1000000000
+                       AS ts_unix_nano
+              FROM g GROUP BY tool
+            ),
+            sa AS (
+              SELECT tool_parsed AS tool,
+                     count(*) AS as_int,
+                     CAST(floor(epoch(max(ts))) AS BIGINT) * 1000000000
+                       AS ts_unix_nano
+              FROM parsed WHERE tool_parsed IS NOT NULL
+              GROUP BY tool_parsed
+            )
+            SELECT 'latency_last' AS metric_name, 'ms' AS unit,
+                   'gauge' AS mtype, tool, as_double,
+                   CAST(NULL AS BIGINT) AS as_int, ts_unix_nano,
+                   0 AS temporality, FALSE AS monotonic
+            FROM ga
+            UNION ALL
+            SELECT 'calls_total', '1', 'sum', tool,
+                   CAST(NULL AS DOUBLE), as_int, ts_unix_nano,
+                   2, TRUE
+            FROM sa
+        """,
         # identity oracle: the direct scale-2 histogram (a value-hash
         # match proves decode(encode(hist)) == hist bucket-for-bucket)
         "metrics_proto_roundtrip": f"{p}"

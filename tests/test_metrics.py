@@ -95,3 +95,38 @@ def test_summary_points_quantiles(spark):
     assert row["point_count"] == 100
     assert row["value_sum"] == 5050.0
     assert (row["q_500"], row["q_900"], row["q_990"]) == (50.5, 90.1, 99.01)
+
+
+def test_metrics_json_envelope_wire_shape(spark):
+    """The envelope is valid OTLP/JSON: asInt as a string, asDouble a
+    number, temporality/monotonic flags on the Sum only."""
+    import json
+
+    from opentelemetry_collector_spark.sources import otlp_metrics_json as omj
+
+    gauge = spark.createDataFrame(
+        [("search", 12.5, 1000)],
+        "tool string, last_value double, last_ts_unix_nano bigint",
+    )
+    sums = spark.createDataFrame(
+        [("search", 42, 2000), ("python", 7, 2100)],
+        "tool string, total bigint, ts_unix_nano bigint",
+    )
+    wire = omj.encode_metrics_json(gauge, sums).collect()[0]["wire"]
+    doc = json.loads(wire)
+    ms = doc["resourceMetrics"][0]["scopeMetrics"][0]["metrics"]
+    g, s = ms[0], ms[1]
+    assert g["gauge"]["dataPoints"][0]["asDouble"] == 12.5
+    assert isinstance(g["gauge"]["dataPoints"][0]["timeUnixNano"], str)
+    assert s["sum"]["aggregationTemporality"] == 2 and s["sum"]["isMonotonic"]
+    assert s["sum"]["dataPoints"][0]["asInt"] == "7"  # sorted by tool
+
+    back = omj.decode_metrics_json(
+        spark.createDataFrame([(wire,)], "wire string")
+    )
+    rows = {(r["mtype"], r["tool"]): r for r in back.collect()}
+    assert rows[("gauge", "search")]["as_double"] == 12.5
+    assert rows[("gauge", "search")]["as_int"] is None
+    assert rows[("sum", "python")]["as_int"] == 7
+    assert rows[("sum", "python")]["monotonic"] is True
+    assert rows[("sum", "python")]["temporality"] == 2
