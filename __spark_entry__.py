@@ -1323,13 +1323,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all columns, one slot each) so the whole contract fits the window
     with only the double-green core past it.
 
-    r5 ranking: the 9 new rows (metric gauge/temporality/summary, span
-    events/links, trace + metrics wire round trips, profile
-    dictionary/samples) lead, then the
-    rows whose code or oracle changed this round (embedding_quantize,
-    pack_sequences, streaming_accounting, proto_roundtrip/debug/ann_lsh
-    via their changed operators); every past-window entry was driver-
-    green in r4 or earlier AND is untouched since.
+    r5 ranking: the 13 new rows (metric gauge/temporality/summary,
+    span events/links, trace/metrics/profiles wire round trips in both
+    JSON and proto, profile dictionary/samples, training-mix sampling
+    and weights) lead, then the rows whose code or oracle changed this
+    round (embedding_quantize, pack_sequences, streaming_accounting,
+    proto_roundtrip/debug/ann_lsh via their changed operators); every
+    past-window entry was driver-green in r4 or earlier AND is
+    untouched since.
     """
     return {
         # -- new in r5 (never driver-verified) --
