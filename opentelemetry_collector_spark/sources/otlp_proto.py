@@ -817,6 +817,65 @@ def _decode_metric(buf: bytes, res_attrs: dict, scope_name: str) -> list[dict]:
                     temporality = v2
                 elif f2 == 3:
                     monotonic = bool(v2)
+        elif f == 11:  # summary
+            mtype = "summary"
+            for f2, _, v2 in _fields(v):
+                if f2 == 1:  # SummaryDataPoint
+                    pt = {"attrs": {}, "time": 0, "count": 0,
+                          "sum": 0.0, "quantiles": []}
+                    for f3, _, v3 in _fields(v2):
+                        if f3 == 7:
+                            pt["attrs"].update(_decode_attrs([v3]))
+                        elif f3 == 3:
+                            pt["time"] = v3
+                        elif f3 == 4:
+                            pt["count"] = v3
+                        elif f3 == 5:
+                            pt["sum"] = _struct.unpack(
+                                "<d", int(v3).to_bytes(8, "little")
+                            )[0]
+                        elif f3 == 6:
+                            q, val = 0.0, 0.0
+                            for f4, _, v4 in _fields(v3):
+                                d = _struct.unpack(
+                                    "<d", int(v4).to_bytes(8, "little")
+                                )[0]
+                                if f4 == 1:
+                                    q = d
+                                elif f4 == 2:
+                                    val = d
+                            pt["quantiles"].append((q, val))
+                    pts.append(pt)
+        elif f == 9:  # histogram (explicit bounds)
+            mtype = "histogram"
+            for f2, _, v2 in _fields(v):
+                if f2 == 1:  # HistogramDataPoint
+                    pt = {"attrs": {}, "time": 0, "count": 0, "sum": 0.0,
+                          "bucket_counts": [], "bounds": []}
+                    for f3, wt3, v3 in _fields(v2):
+                        if f3 == 9:
+                            pt["attrs"].update(_decode_attrs([v3]))
+                        elif f3 == 3:
+                            pt["time"] = v3
+                        elif f3 == 4:
+                            pt["count"] = v3
+                        elif f3 == 5:
+                            pt["sum"] = _struct.unpack(
+                                "<d", int(v3).to_bytes(8, "little")
+                            )[0]
+                        elif f3 == 6 and wt3 == _WT_LEN:
+                            pt["bucket_counts"] = [
+                                int.from_bytes(v3[j:j + 8], "little")
+                                for j in range(0, len(v3), 8)
+                            ]
+                        elif f3 == 7 and wt3 == _WT_LEN:
+                            pt["bounds"] = [
+                                _struct.unpack("<d", v3[j:j + 8])[0]
+                                for j in range(0, len(v3), 8)
+                            ]
+                    pts.append(pt)
+                elif f2 == 2:
+                    temporality = v2
         elif f == 10:  # exponential_histogram
             mtype = "exponential_histogram"
             for f2, _, v2 in _fields(v):
@@ -977,3 +1036,74 @@ def decode_metrics_proto(
             F.col("r.n").alias("n"),
         )
     )
+
+
+def _packed_doubles(field: int, vals: list[float]) -> bytes:
+    import struct as _struct
+
+    if not vals:
+        return b""
+    body = b"".join(_struct.pack("<d", v) for v in vals)
+    return _key(field, _WT_LEN) + _varint(len(body)) + body
+
+
+def _packed_fixed64s(field: int, vals: list[int]) -> bytes:
+    if not vals:
+        return b""
+    body = b"".join(int(v).to_bytes(8, "little") for v in vals)
+    return _key(field, _WT_LEN) + _varint(len(body)) + body
+
+
+def _double_field(field: int, v: float) -> bytes:
+    import struct as _struct
+
+    if not v:
+        return b""
+    return _key(field, _WT_FIXED64) + _struct.pack("<d", v)
+
+
+def encode_summary_metric(name: str, unit: str, points: list[dict]) -> bytes:
+    """Metric{summary=11} (generated_proto_summarydatapoint.go:
+    attributes=7, time=3, count=4 fixed64, sum=5 double,
+    quantile_values=6 {quantile=1, value=2 doubles}). Point dict:
+    attrs, time, count, sum, quantiles (list of (q, v))."""
+    dps = b""
+    for pt in points:
+        dp = b"".join(
+            _msg_field(7, _keyvalue(k, _any_string(v)))
+            for k, v in pt.get("attrs", [])
+        )
+        dp += _fixed64_field(3, pt.get("time", 0))
+        dp += _fixed64_field(4, pt.get("count", 0))
+        dp += _double_field(5, pt.get("sum", 0.0))
+        for q, v in pt.get("quantiles", []):
+            dp += _msg_field(6, _double_field(1, q) + _double_field(2, v))
+        dps += _msg_field(1, dp)
+    return _str_field(1, name) + _str_field(3, unit) + _msg_field(11, dps)
+
+
+def encode_histogram_metric(
+    name: str,
+    unit: str,
+    points: list[dict],
+    temporality: int = AGG_TEMPORALITY_CUMULATIVE,
+) -> bytes:
+    """Metric{histogram=9} — the explicit-bounds histogram
+    (generated_proto_histogramdatapoint.go: attributes=9, time=3,
+    count=4 fixed64, sum=5, bucket_counts=6 packed fixed64,
+    explicit_bounds=7 packed double). Point dict: attrs, time, count,
+    sum, bucket_counts (len = len(bounds)+1), bounds."""
+    dps = b""
+    for pt in points:
+        dp = b"".join(
+            _msg_field(9, _keyvalue(k, _any_string(v)))
+            for k, v in pt.get("attrs", [])
+        )
+        dp += _fixed64_field(3, pt.get("time", 0))
+        dp += _fixed64_field(4, pt.get("count", 0))
+        dp += _double_field(5, pt.get("sum", 0.0))
+        dp += _packed_fixed64s(6, pt.get("bucket_counts", []))
+        dp += _packed_doubles(7, pt.get("bounds", []))
+        dps += _msg_field(1, dp)
+    body = dps + _varint_field(2, temporality)
+    return _str_field(1, name) + _str_field(3, unit) + _msg_field(9, body)

@@ -298,3 +298,33 @@ def test_metrics_proto_spark_roundtrip(spark):
 
     a, b = rows(hist), rows(back)
     assert a == b and len(a) == 4
+
+
+def test_metrics_summary_and_histogram_roundtrip():
+    """Summary (attributes field 7, quantile_values {q=1,v=2} doubles)
+    and explicit-bounds Histogram (attributes field 9, packed fixed64
+    bucket counts, packed double bounds) survive encode→decode — all
+    five metric data-point types now round-trip on the proto wire."""
+    from opentelemetry_collector_spark.sources import otlp_proto as m
+
+    summ = m.encode_summary_metric(
+        "lat_summary", "ms",
+        [{"attrs": [("tool", "s")], "time": 9, "count": 100,
+          "sum": 5050.0, "quantiles": [(0.5, 50.5), (0.99, 99.01)]}],
+    )
+    hist = m.encode_histogram_metric(
+        "lat_hist", "ms",
+        [{"attrs": [("tool", "s")], "time": 9, "count": 6, "sum": 12.5,
+          "bucket_counts": [1, 2, 3], "bounds": [10.0, 100.0]}],
+        temporality=m.AGG_TEMPORALITY_DELTA,
+    )
+    env = m.encode_resource_metrics([("corpus", "t")], "scope", [summ, hist])
+    pts = m.decode_metrics(env)
+    assert [p["type"] for p in pts] == ["summary", "histogram"]
+    s, h = pts
+    assert s["count"] == 100 and s["sum"] == 5050.0
+    assert s["quantiles"] == [(0.5, 50.5), (0.99, 99.01)]
+    assert s["attrs"] == {"tool": "s"} and s["time"] == 9
+    assert h["bucket_counts"] == [1, 2, 3] and h["bounds"] == [10.0, 100.0]
+    assert h["count"] == 6 and h["sum"] == 12.5
+    assert h["temporality"] == m.AGG_TEMPORALITY_DELTA
