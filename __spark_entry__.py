@@ -1013,6 +1013,32 @@ def q_metric_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_exp_histogram_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential-histogram MERGE (the aggregation-temporality merge
+    primitive, operators/exphist.merge_histograms): split the turns on
+    event parity, aggregate each half at a DIFFERENT scale (3 and 2),
+    merge (downscale finer → coarser, union, sum buckets). Because the
+    halves partition the data and downscaled buckets nest exactly, the
+    merged histogram is BIT-IDENTICAL to aggregating everything
+    directly at scale 2 — which is what the oracle computes, proving
+    the merge arithmetic cross-engine."""
+    from opentelemetry_collector_spark.operators import exphist
+
+    d = _parsed(spark, sf_dir).select(
+        F.col("tool_parsed").alias("tool"), "latency_ms",
+        (F.col("turn_idx") % 2 == 0).alias("_even"),
+    )
+    h_even = exphist.exponential_histogram(
+        d.filter(F.col("_even")), "latency_ms", scale=3
+    )
+    h_odd = exphist.exponential_histogram(
+        d.filter(~F.col("_even")), "latency_ms", scale=2
+    )
+    merged, scale = exphist.merge_histograms(h_even, h_odd, 3, 2)
+    assert scale == 2
+    return merged
+
+
 def q_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Traces signal: one span per turn (trace = conversation, parent =
     previous turn) with deterministic md5 IDs, ptrace-shaped columns
@@ -1347,6 +1373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_stratified_sample": q_mix_stratified_sample,
         "mix_weights": q_mix_weights,
         "metrics_json_roundtrip": q_metrics_json_roundtrip,
+        "exp_histogram_merge": q_exp_histogram_merge,
         # -- never driver-verified (r3 window miss) or changed in r4 --
         "embedding_quantize": q_embedding_quantize,
         "ann_quantized_recall": q_ann_quantized_recall,
@@ -1816,6 +1843,13 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT tool_parsed AS tool, latency_ms FROM parsed "
             "WHERE tool_parsed IS NOT NULL)",
             "latency_ms", stream_cols=("tool",), quantiles=(0.5, 0.9, 0.99),
+        ),
+        # merged(scale-3 half, scale-2 half) == direct scale-2 over all
+        # (halves partition the rows; downscaled buckets nest exactly)
+        "exp_histogram_merge": f"{p}"
+        + exphist_mod.exponential_histogram_sql(
+            "(SELECT tool_parsed AS tool, latency_ms FROM parsed)",
+            "latency_ms", scale=2, lead=",",
         ),
         "spans": traces_mod.spans_oracle_sql(p),
         "span_events": traces_mod.span_events_oracle_sql(p),
