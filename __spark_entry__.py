@@ -1039,6 +1039,34 @@ def q_exp_histogram_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged
 
 
+def q_exp_histogram_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential-histogram buckets WITH exemplars — the
+    metrics↔traces link (pmetric/generated_exemplar.go:56-129): each
+    (tool, bucket) keeps its max-latency observation's value +
+    trace/span ids + timestamp, so a hot bucket points at a
+    representative span. Count and exemplar ride ONE partial-aggregated
+    shuffle (operators/exphist.histogram_exemplars)."""
+    from opentelemetry_collector_spark.operators import exphist, traces
+
+    d = _parsed(spark, sf_dir)
+    return exphist.histogram_exemplars(
+        d.select(
+            F.col("tool_parsed").alias("tool"),
+            "latency_ms",
+            F.md5(F.col("conv_id")).alias("_tid"),
+            traces.span_id_expr(F.col("conv_id"), F.col("turn_idx"))
+            .alias("_sid"),
+            (F.unix_timestamp("ts").cast("bigint") * F.lit(1_000_000_000))
+            .alias("_tsn"),
+        ),
+        "latency_ms",
+        trace_id_col=F.col("_tid"),
+        span_id_col=F.col("_sid"),
+        ts_ns_col=F.col("_tsn"),
+        scale=2,
+    )
+
+
 def q_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Traces signal: one span per turn (trace = conversation, parent =
     previous turn) with deterministic md5 IDs, ptrace-shaped columns
@@ -1374,6 +1402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_weights": q_mix_weights,
         "metrics_json_roundtrip": q_metrics_json_roundtrip,
         "exp_histogram_merge": q_exp_histogram_merge,
+        "exp_histogram_exemplars": q_exp_histogram_exemplars,
         # -- never driver-verified (r3 window miss) or changed in r4 --
         "embedding_quantize": q_embedding_quantize,
         "ann_quantized_recall": q_ann_quantized_recall,
@@ -1851,6 +1880,48 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT tool_parsed AS tool, latency_ms FROM parsed)",
             "latency_ms", scale=2, lead=",",
         ),
+        # exemplar = the bucket's max-(value, tid, sid, ts) observation
+        # (struct-max in Spark == this DESC ordering), count in the same
+        # partition — mirrors histogram_exemplars' single aggregation
+        "exp_histogram_exemplars": f"""
+            {p},
+            pts AS (
+              SELECT tool_parsed AS tool, latency_ms AS v,
+                     md5(conv_id) AS tid,
+                     substring(md5(conv_id || ':' ||
+                       CAST(turn_idx AS VARCHAR)), 1, 16) AS sid,
+                     CAST(floor(epoch(ts)) AS BIGINT) * 1000000000 AS tsn,
+                     CASE WHEN latency_ms > 0 THEN 1
+                          WHEN latency_ms < 0 THEN -1 ELSE 0 END AS sign,
+                     CASE WHEN latency_ms > 0 THEN
+                            CAST(ceil(round(log2(latency_ms) * 4.0, 9))
+                                 AS BIGINT) - 1
+                          WHEN latency_ms < 0 THEN
+                            CAST(ceil(round(log2(-latency_ms) * 4.0, 9))
+                                 AS BIGINT) - 1
+                          ELSE NULL END AS idx
+              FROM parsed WHERE latency_ms IS NOT NULL
+            ),
+            rk AS (
+              SELECT *,
+                     row_number() OVER (
+                       PARTITION BY tool, sign, idx
+                       ORDER BY v DESC, tid DESC, sid DESC, tsn DESC
+                     ) AS rn,
+                     count(*) OVER (PARTITION BY tool, sign, idx) AS n
+              FROM pts
+            )
+            SELECT tool, sign, idx, n,
+                   CASE WHEN idx IS NOT NULL
+                        THEN round(pow(2.0, idx * 0.25), 6) END AS lo,
+                   CASE WHEN idx IS NOT NULL
+                        THEN round(pow(2.0, (idx + 1) * 0.25), 6) END AS hi,
+                   v AS exemplar_value,
+                   tid AS exemplar_trace_id,
+                   sid AS exemplar_span_id,
+                   tsn AS exemplar_ts_unix_nano
+            FROM rk WHERE rn = 1
+        """,
         "spans": traces_mod.spans_oracle_sql(p),
         "span_events": traces_mod.span_events_oracle_sql(p),
         "span_links": traces_mod.span_links_oracle_sql(p),

@@ -202,3 +202,65 @@ def bucket_bounds(scale: int):
         F.when(F.col("idx").isNotNull(), lo),
         F.when(F.col("idx").isNotNull(), hi),
     )
+
+
+def histogram_exemplars(
+    df: DataFrame,
+    value_col: str,
+    trace_id_col,
+    span_id_col,
+    ts_ns_col,
+    scale: int = 2,
+    group_cols: tuple[str, ...] = ("tool",),
+) -> DataFrame:
+    """Exponential-histogram buckets WITH exemplars — the reference's
+    metrics↔traces link (pdata/pmetric/generated_exemplar.go:56-129:
+    an Exemplar carries value, timestamp, trace_id, span_id). Each
+    (group, sign, bucket) keeps its MAX-value observation as the
+    exemplar (deterministic: ties broken by the trace/span id struct
+    order), so an operator seeing a hot latency bucket can jump
+    straight to a representative span.
+
+    One partial-aggregated groupBy (count + max_by ride the same
+    shuffle); no window, no second pass. Columns: group…, sign, idx,
+    n, lo, hi, exemplar_value, exemplar_trace_id, exemplar_span_id,
+    exemplar_ts_unix_nano."""
+    v = F.col(value_col)
+    sign = (
+        F.when(v > 0, F.lit(1)).when(v < 0, F.lit(-1)).otherwise(F.lit(0))
+    )
+    idx = (
+        F.when(v > 0, bucket_index(v, scale))
+        .when(v < 0, bucket_index(-v, scale))
+        .otherwise(F.lit(None).cast("bigint"))
+    )
+    ex = F.struct(
+        v.alias("v"),
+        trace_id_col.alias("tid"),
+        span_id_col.alias("sid"),
+        ts_ns_col.alias("ts"),
+    )
+    lo, hi = bucket_bounds(scale)
+    return (
+        df.filter(v.isNotNull())
+        .select(
+            *group_cols, sign.alias("sign"), idx.alias("idx"), ex.alias("ex")
+        )
+        .groupBy(*group_cols, "sign", "idx")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max_by(F.col("ex"), F.col("ex")).alias("_ex"),
+        )
+        .select(
+            *group_cols,
+            "sign",
+            "idx",
+            "n",
+            lo.alias("lo"),
+            hi.alias("hi"),
+            F.col("_ex.v").alias("exemplar_value"),
+            F.col("_ex.tid").alias("exemplar_trace_id"),
+            F.col("_ex.sid").alias("exemplar_span_id"),
+            F.col("_ex.ts").alias("exemplar_ts_unix_nano"),
+        )
+    )
