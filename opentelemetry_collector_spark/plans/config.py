@@ -397,6 +397,14 @@ def _make_receiver(cid: str, opts: dict, spark: SparkSession) -> DataFrame:
         from opentelemetry_collector_spark.sources.otlp_json import read_otlp_json
 
         return read_otlp_json(spark, opts["path"])
+    if t == "otlp_proto":
+        # OTLP protobuf envelope files (.pb) — the reference's PRIMARY
+        # wire format as a file receiver (sources/otlp_proto.py)
+        from opentelemetry_collector_spark.sources.otlp_proto import (
+            read_otlp_proto,
+        )
+
+        return read_otlp_proto(spark, opts["path"])
     raise ConfigError(f"receiver {cid!r}: unknown type {t!r}")
 
 
@@ -448,6 +456,24 @@ def _make_processor(cid: str, opts: dict, spark: SparkSession) -> Callable[[Data
             return df
 
         return apply_actions
+    if t == "derive_spans":
+        # logs → TRACES signal conversion (the logs-to-traces connector
+        # analog): one span per parsed turn (operators/traces.py)
+        from opentelemetry_collector_spark.operators import traces as traces_ops
+
+        return lambda df: traces_ops.derive_spans(df)
+    if t == "exp_histogram":
+        # logs → METRICS signal conversion (count-connector analog):
+        # exponential-histogram buckets of a numeric attribute
+        # (operators/exphist.py)
+        from opentelemetry_collector_spark.operators import exphist as exphist_ops
+
+        value_col = opts.get("value_col", "latency_ms")
+        scale = int(opts.get("scale", 2))
+        group = tuple(opts.get("group_by", ["tool_parsed"]))
+        return lambda df: exphist_ops.exponential_histogram(
+            df, value_col, scale=scale, group_cols=group
+        )
     raise ConfigError(f"processor {cid!r}: unknown type {t!r}")
 
 

@@ -394,3 +394,44 @@ def test_debug_sampling_thereafter_validated_at_load(spark, sf_dir):
         }
         with pytest.raises(ConfigError, match="sampling_thereafter"):
             ServiceConfig.from_dict(raw)
+
+
+def test_multi_signal_pipelines_from_config(spark, sf_dir, tmp_path):
+    """A YAML graph can convert the logs signal into TRACES and METRICS
+    pipelines: parsed logs feed a forward connector consumed by a
+    traces pipeline (derive_spans → table) and a metrics pipeline
+    (exp_histogram → table) — the logs-to-traces / count-connector
+    analogs, one scan feeding all three signals."""
+    raw = _base(
+        {
+            "logs": {"receivers": ["transcripts"], "processors": ["parse"],
+                     "exporters": ["forward/sig", "table/a"]},
+            "traces": {"receivers": ["forward/sig"],
+                       "processors": ["derive_spans/sig"],
+                       "exporters": ["table/spans"]},
+            "metrics": {"receivers": ["forward/sig"],
+                        "processors": ["exp_histogram/sig"],
+                        "exporters": ["table/hist"]},
+        }
+    )
+    raw["receivers"]["transcripts"]["sf_dir"] = str(sf_dir)
+    raw["connectors"]["forward/sig"] = {}
+    # component TYPE comes from the id prefix (component/identifiable.go)
+    raw["processors"]["derive_spans/sig"] = {}
+    raw["processors"]["exp_histogram/sig"] = {
+        "value_col": "latency_ms", "scale": 2,
+    }
+    raw["exporters"]["table/spans"] = {"table": "out_spans"}
+    raw["exporters"]["table/hist"] = {"table": "out_hist"}
+
+    counts = run(build(ServiceConfig.from_dict(raw)), spark,
+                 str(tmp_path / "whsig"))
+    n_turns = counts["table/a"]
+    assert counts["table/spans"] == n_turns > 0   # one span per turn
+    assert 0 < counts["table/hist"] < n_turns     # bucket rows
+
+    cat = TableCatalog(spark, str(tmp_path / "whsig"))
+    spans = cat.read("out_spans")
+    assert {"trace_id", "span_id", "kind", "status_code"} <= set(spans.columns)
+    hist = cat.read("out_hist")
+    assert {"sign", "idx", "n", "lo", "hi"} <= set(hist.columns)
