@@ -658,6 +658,21 @@ def run(
                     counts[e] = debug_format(
                         out_df, verbosity=opts.get("verbosity", "normal")
                     ).count()
+                elif t == "otlp_proto_file":
+                    # wire-format file exporter: parsed rows → LogsData
+                    # .pb envelope files (one per conversation batch) —
+                    # the exporter-side twin of the otlp_proto receiver
+                    from opentelemetry_collector_spark.sources.otlp_proto import (
+                        encode_logs_proto,
+                        write_proto_files,
+                    )
+
+                    counts[e] = write_proto_files(
+                        encode_logs_proto(
+                            df, batch_size=int(opts.get("batch_size", 512))
+                        ),
+                        opts["path"],
+                    )
                 elif t == "nop":
                     counts[e] = 0
                 else:

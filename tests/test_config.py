@@ -435,3 +435,35 @@ def test_multi_signal_pipelines_from_config(spark, sf_dir, tmp_path):
     assert {"trace_id", "span_id", "kind", "status_code"} <= set(spans.columns)
     hist = cat.read("out_hist")
     assert {"sign", "idx", "n", "lo", "hi"} <= set(hist.columns)
+
+
+def test_wire_file_export_then_ingest_from_config(spark, sf_dir, tmp_path):
+    """Config-defined wire round trip: a logs pipeline exports .pb
+    envelope files (otlp_proto_file exporter), a second config run
+    ingests them back (otlp_proto receiver) — every record survives the
+    export → files → ingest cycle, all through YAML."""
+    pb_dir = str(tmp_path / "pb")
+    raw = _base(
+        {"logs": {"receivers": ["transcripts"], "processors": ["parse"],
+                  "exporters": ["otlp_proto_file/out"]}}
+    )
+    raw["receivers"]["transcripts"]["sf_dir"] = str(sf_dir)
+    raw["exporters"]["otlp_proto_file/out"] = {"path": pb_dir}
+    counts = run(build(ServiceConfig.from_dict(raw)), spark,
+                 str(tmp_path / "whw"))
+    assert counts["otlp_proto_file/out"] > 0  # envelope files written
+
+    raw2 = _base(
+        {"logs": {"receivers": ["otlp_proto/in"], "processors": [],
+                  "exporters": ["table/a"]}}
+    )
+    raw2["receivers"]["otlp_proto/in"] = {"path": pb_dir}
+    counts2 = run(build(ServiceConfig.from_dict(raw2)), spark,
+                  str(tmp_path / "whw2"))
+
+    from opentelemetry_collector_spark.sources import derive_transcripts
+
+    n_turns = derive_transcripts(spark, str(sf_dir)).count()
+    assert counts2["table/a"] == n_turns
+    out = TableCatalog(spark, str(tmp_path / "whw2")).read("out_a")
+    assert {"res_conv", "turn_idx", "body_text"} <= set(out.columns)
