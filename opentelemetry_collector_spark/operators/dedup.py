@@ -682,9 +682,20 @@ def connected_components(
                 ).alias("label"),
             )
         )
-        # eager localCheckpoint = materialize AND truncate lineage (see
-        # docstring: persist alone leaves a geometrically-growing plan)
-        new_labels = new_labels.localCheckpoint(eager=True)
+        # eager checkpoint = materialize AND truncate lineage (see
+        # docstring: persist alone leaves a geometrically-growing plan).
+        # The engine.reliableCheckpoint feature gate (alpha, default
+        # off) swaps in reliable checkpoint() — durable blocks that
+        # survive executor loss, for long 100 TB runs that cannot
+        # afford a restart; requires spark.sparkContext.setCheckpointDir
+        from opentelemetry_collector_spark.plans.featuregate import (
+            global_registry,
+        )
+
+        if global_registry().is_enabled("engine.reliableCheckpoint"):
+            new_labels = new_labels.checkpoint(eager=True)
+        else:
+            new_labels = new_labels.localCheckpoint(eager=True)
         done, prev_sum = _converged(new_labels, labels, prev_sum)
         labels.unpersist()  # no-op for checkpointed rounds, frees round 0
         labels = new_labels

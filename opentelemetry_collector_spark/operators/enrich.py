@@ -26,10 +26,22 @@ def enrich_stage(df: DataFrame, tool_lookup: DataFrame, role_lookup: DataFrame) 
     Left join: a missing key yields NULL enrichment columns and
     enrich_miss=true; rows are never dropped (the processor contract —
     enrichment must not lose data).
+
+    The broadcast hint is governed by the engine.broadcastEnrich
+    feature gate (beta, default on). Disabling it drops the explicit
+    hint and lets AQE/size thresholds pick the join strategy — the
+    escape hatch for a lookup that outgrew executor memory.
     """
+    from opentelemetry_collector_spark.plans.featuregate import (
+        global_registry,
+    )
+
+    if global_registry().is_enabled("engine.broadcastEnrich"):
+        tool_lookup = F.broadcast(tool_lookup)
+        role_lookup = F.broadcast(role_lookup)
     out = (
-        df.join(F.broadcast(tool_lookup), "tool", "left")
-        .join(F.broadcast(role_lookup), "role", "left")
+        df.join(tool_lookup, "tool", "left")
+        .join(role_lookup, "role", "left")
         .withColumn(
             "enrich_miss",
             F.col("tool_category").isNull() | F.col("role_kind").isNull(),

@@ -71,6 +71,15 @@ def get_spark(
     builder = SparkSession.builder.appName(app_name).master(master)
     for k, v in _DEFAULTS.items():
         builder = builder.config(k, v)
+    # the engine.aqeSkewJoin feature gate (beta, default on) governs
+    # runtime skew-join splitting; disable via --feature-gates before
+    # the session is built (main.py applies flags first)
+    from opentelemetry_collector_spark.plans.featuregate import global_registry
+
+    builder = builder.config(
+        "spark.sql.adaptive.skewJoin.enabled",
+        str(global_registry().is_enabled("engine.aqeSkewJoin")).lower(),
+    )
     builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

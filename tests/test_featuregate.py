@@ -79,3 +79,69 @@ def test_main_flag_rejects_unknown_gate(capsys):
     with pytest.raises(fg.GateError, match="no such feature gate"):
         main_mod.main(["--warehouse", "/tmp/x",
                        "--feature-gates", "does.not.exist"])
+
+
+def test_broadcast_enrich_gate_governs_the_hint(spark):
+    """Disabling engine.broadcastEnrich drops the explicit broadcast
+    hint (AQE/size thresholds then decide); rows are identical either
+    way. The gate is consulted at plan-build time, so flipping it
+    changes the LOGICAL plan of a fresh enrich_stage call."""
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_spark.operators.enrich import enrich_stage
+
+    df = spark.createDataFrame(
+        [("search", "assistant", 1)], "tool string, role string, x int"
+    )
+    tools = spark.createDataFrame(
+        [("search", "web")], "tool string, tool_category string"
+    )
+    roles = spark.createDataFrame(
+        [("assistant", "model")], "role string, role_kind string"
+    )
+    g = fg.global_registry()
+
+    def logical(d):
+        return d._jdf.queryExecution().analyzed().toString()
+
+    hinted = logical(enrich_stage(df, tools, roles))
+    assert "broadcast" in hinted.lower()
+    try:
+        g.set("engine.broadcastEnrich", False)
+        unhinted_df = enrich_stage(df, tools, roles)
+        assert "hint" not in logical(unhinted_df).lower()
+        rows = unhinted_df.collect()
+        assert rows[0]["tool_category"] == "web" and not rows[0]["enrich_miss"]
+    finally:
+        g.set("engine.broadcastEnrich", True)
+
+
+def test_reliable_checkpoint_gate_switches_cc_checkpointing(spark, tmp_path):
+    """Enabling engine.reliableCheckpoint makes connected_components use
+    durable checkpoint() (requires a checkpoint dir) and still converge
+    to the same labels."""
+    from opentelemetry_collector_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "a bigint, b bigint"
+    )
+
+    def labels():
+        out = connected_components(edges, "a", "b")
+        return sorted((r[0], r[1]) for r in out.collect())
+
+    base = labels()
+    g = fg.global_registry()
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        g.set("engine.reliableCheckpoint", True)
+        assert labels() == base
+        # durable checkpoint files actually landed in the configured dir
+        import os
+
+        found = any(files for _, _, files in os.walk(str(tmp_path / "ckpt")))
+        assert found
+    finally:
+        g.set("engine.reliableCheckpoint", False)
