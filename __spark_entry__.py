@@ -1136,6 +1136,23 @@ def q_profile_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MIX_RATES = {"en": 0.8, "fr": 0.5, "de": 0.5, "zh": 0.25}
 _MIX_TARGETS = {"en": 0.5, "fr": 0.15, "de": 0.15, "es": 0.1, "zh": 0.1}
+_MIX_WEIGHTS = {"en": 0.6, "fr": 1.0, "de": 1.25, "zh": 2.5}
+
+
+def q_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-weight APPLICATION (operators/mixing.resample_to_mix):
+    up/down-sample each language to its weight via deterministic
+    repetition — floor(w) copies per doc plus a hash-drawn fractional
+    copy (md5 chars 7-12, independent of the sampling window), so the
+    expected copy count is exactly w and both engines replicate the
+    SAME rows. es absent from the weight map → dropped."""
+    from opentelemetry_collector_spark.operators import mixing
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return mixing.resample_to_mix(
+        docs.select("doc_id", "source", "lang", "n_chars"),
+        _MIX_WEIGHTS, strat_col="lang", key_col="doc_id",
+    )
 
 
 def q_mix_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1400,6 +1417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profiles_proto_roundtrip": q_profiles_proto_roundtrip,
         "mix_stratified_sample": q_mix_stratified_sample,
         "mix_weights": q_mix_weights,
+        "mix_resample": q_mix_resample,
         "metrics_json_roundtrip": q_metrics_json_roundtrip,
         "exp_histogram_merge": q_exp_histogram_merge,
         "exp_histogram_exemplars": q_exp_histogram_exemplars,
@@ -1938,6 +1956,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "mix_weights": mixing_mod.mixture_weights_sql(
             "documents", _MIX_TARGETS, strat_col="lang", size_col="n_chars",
+        ),
+        "mix_resample": mixing_mod.resample_to_mix_sql(
+            "documents", _MIX_WEIGHTS, strat_col="lang", key_col="doc_id",
+            cols="doc_id, source, lang, n_chars",
         ),
         # identity oracle: the direct per-tool gauge/sum aggregates the
         # JSON envelope round trip must reproduce (flags included)

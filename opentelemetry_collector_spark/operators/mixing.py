@@ -155,3 +155,82 @@ def mixture_weights_sql(
                          / (size_sum / sum(size_sum) OVER ()), 6) AS weight
             FROM agg
         """
+
+
+def resample_to_mix(
+    df: DataFrame,
+    weights: dict[str, float],
+    strat_col: str = "lang",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """APPLY mixture weights: up/down-sample each stratum to its weight
+    by deterministic repetition — every row gets ``floor(w)`` copies
+    plus one more iff its hash fraction falls below ``frac(w)`` (so the
+    expected copy count is exactly w, and the SAME rows get the extra
+    copy on any engine/partition layout). The fractional draw uses md5
+    hex chars 7-12 — a DIFFERENT window than stratified_sample's 1-6,
+    so sampling and resampling decisions stay independent. Weight 0
+    drops the stratum; weights < 1 are pure down-sampling.
+
+    Output: input columns + ``copy`` (1..n per surviving row). One
+    scan + explode; no shuffle — the op 100 TB mix assembly runs after
+    mixture_weights chooses the factors."""
+    base = F.lit(None).cast("int")
+    extra_thr = F.lit(None).cast("string")
+    for s, w in sorted(weights.items()):
+        wf = float(w)
+        base = F.when(F.col(strat_col) == s, F.lit(int(wf))).otherwise(base)
+        extra_thr = F.when(
+            F.col(strat_col) == s, F.lit(rate_threshold(wf - int(wf)))
+        ).otherwise(extra_thr)
+    frac_hex = F.substring(F.md5(F.col(key_col).cast("string")), 7, 6)
+    n = F.coalesce(base, F.lit(0)) + F.when(
+        frac_hex < F.coalesce(extra_thr, F.lit("000000")), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        df.withColumn("_n", n)
+        .filter(F.col("_n") >= 1)
+        .withColumn("copy", F.explode(F.sequence(F.lit(1), F.col("_n"))))
+        .drop("_n")
+    )
+
+
+def resample_to_mix_sql(
+    table_expr: str,
+    weights: dict[str, float],
+    strat_col: str = "lang",
+    key_col: str = "doc_id",
+    cols: str = "*",
+) -> str:
+    """DuckDB twin of :func:`resample_to_mix` (same integer base +
+    hex-threshold fractional copy, lateral generate_series)."""
+    base_branches = "\n                 ".join(
+        f"WHEN {strat_col} = '{s}' THEN {int(float(w))}"
+        for s, w in sorted(weights.items())
+    )
+    thr_branches = "\n                 ".join(
+        f"WHEN {strat_col} = '{s}' THEN "
+        f"'{rate_threshold(float(w) - int(float(w)))}'"
+        for s, w in sorted(weights.items())
+    )
+    return f"""
+            WITH sized AS (
+              SELECT {cols},
+                     (CASE {base_branches} ELSE 0 END)
+                     + (CASE WHEN substring(md5(CAST({key_col} AS VARCHAR)),
+                                            7, 6)
+                             < (CASE {thr_branches} ELSE '000000' END)
+                             THEN 1 ELSE 0 END) AS _n
+              FROM {table_expr}
+            )
+            -- unnest(list) instead of a lateral table function: DuckDB's
+            -- generate_series table form rejects column parameters; the
+            -- list form yields [] when _n < 1, dropping the row like the
+            -- Spark filter does
+            SELECT * EXCLUDE (_n, copy), CAST(copy AS INT) AS copy
+            FROM (
+              SELECT *, unnest(generate_series(1, CAST(_n AS BIGINT)))
+                     AS copy
+              FROM sized
+            )
+        """

@@ -54,3 +54,35 @@ def test_mixture_weights_shares_and_factors(spark):
     assert out["en"]["weight"] == 0.625      # down-sample en: 0.5/0.8
     assert out["zh"]["weight"] == 2.5        # up-sample zh:   0.5/0.2
     assert out["en"]["doc_count"] == 2 and out["en"]["size_sum"] == 800
+
+
+def test_resample_to_mix_copy_counts(spark):
+    """floor(w) copies per row plus a deterministic fractional extra;
+    weight 0 / unlisted strata drop; re-running replicates the SAME
+    rows (no RNG state)."""
+    df = _docs(spark)  # 100 en + 100 zh
+    out = mixing.resample_to_mix(
+        df, {"en": 2.0, "zh": 0.5}, strat_col="lang", key_col="doc_id"
+    )
+    per_doc = {
+        (r["doc_id"], r["copy"]) for r in out.collect()
+    }
+    assert per_doc == {
+        (r["doc_id"], r["copy"]) for r in out.collect()
+    }  # deterministic
+    from pyspark.sql import functions as F
+
+    counts = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts["en"] == 200                 # exactly 2 copies each
+    assert 25 <= counts.get("zh", 0) <= 80     # ~50 fractional survivors
+    # every en doc has copies 1 AND 2
+    en_copies = [c for (d, c) in per_doc if d % 2 == 0]
+    assert sorted(set(en_copies)) == [1, 2]
+    # unlisted stratum drops entirely
+    none = mixing.resample_to_mix(
+        df, {"en": 1.0}, strat_col="lang", key_col="doc_id"
+    )
+    assert none.filter(F.col("lang") == "zh").count() == 0
