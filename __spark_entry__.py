@@ -399,14 +399,17 @@ def q_multi_route(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_streaming_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Structured Streaming in the driver contract (rows-only check —
-    micro-batch execution is not SQL-expressible, so no oracle entry;
-    the batch/stream EQUALITY is pinned by tests/test_streaming.py):
-    the transcripts flow through the identical parse→enrich→route
-    stages under readStream with Trigger.AvailableNow, watermarked
-    tumbling-window accounting lands in a memory sink, and the emitted
-    windows are returned. Emission follows the streaming contract:
-    windows past the final watermark (max event time − 2h)."""
+    """Structured Streaming in the driver contract — now FULLY
+    value-oracled (r5): the emitted window SET is a deterministic
+    function of the data (append-mode emission = windows whose end ≤
+    the final watermark, max event time − 2h), so the oracle computes
+    the same hourly aggregation with the same HAVING cut and the value
+    hash must match bit-for-bit (verified stable across repeated
+    runs; batch/stream equality additionally pinned by
+    tests/test_streaming.py). The transcripts flow through the
+    identical parse→enrich→route stages under readStream with
+    Trigger.AvailableNow; watermarked tumbling-window accounting lands
+    in a parquet sink read back lazily."""
     import shutil
     import tempfile
 
@@ -1430,8 +1433,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngrams": q_top_ngrams,
         "chunk_docs": q_chunk_docs,
         "pack_sequences": q_pack_sequences,
-        # changed in r5 (parquet sink replaced the memory sink): needs a
-        # fresh driver row even though it is rows-only by design
+        # changed in r5 (parquet sink replaced the memory sink; now
+        # fully value-oracled — the emitted window set is deterministic)
         "streaming_accounting": q_streaming_accounting,
         # -- new / consolidated in r4 --
         "text_metrics": q_text_metrics,
@@ -1961,6 +1964,27 @@ def oracle_sql() -> dict[str, str]:
             "documents", _MIX_WEIGHTS, strat_col="lang", key_col="doc_id",
             cols="doc_id, source, lang, n_chars",
         ),
+        # the streaming window set is deterministic: append-mode emits
+        # exactly the windows whose end <= final watermark (max event
+        # time - 2h), so the batch twin with the same HAVING cut is an
+        # exact value oracle (bit-stable across repeated stream runs)
+        "streaming_accounting": f"""
+            {p},
+            base AS (
+              SELECT {sqltext.ROUTE_CASE_SQL} AS route,
+                     date_trunc('hour', ts) AS window_start,
+                     date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+                     conv_id, tool, ts, text
+              FROM parsed WHERE parse_ok
+            )
+            SELECT window_start, window_end, route, conv_id, tool,
+                   count(*) AS turn_count,
+                   CAST(sum(length(text)) AS BIGINT) AS bytes_sum
+            FROM base
+            GROUP BY 1, 2, 3, 4, 5
+            HAVING window_end <= (SELECT max(ts) - INTERVAL 2 HOUR
+                                  FROM base)
+        """,
         # identity oracle: the direct per-tool gauge/sum aggregates the
         # JSON envelope round trip must reproduce (flags included)
         "metrics_json_roundtrip": f"""
