@@ -1397,11 +1397,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all columns, one slot each) so the whole contract fits the window
     with only the double-green core past it.
 
-    r5 ranking: the 13 new rows (metric gauge/temporality/summary,
+    r5 ranking: the 16 new rows (metric gauge/temporality/summary,
     span events/links, trace/metrics/profiles wire round trips in both
-    JSON and proto, profile dictionary/samples, training-mix sampling
-    and weights) lead, then the rows whose code or oracle changed this
-    round (embedding_quantize, pack_sequences, streaming_accounting,
+    JSON and proto, exp-histogram merge + exemplars, profile
+    dictionary/samples, training-mix sampling/weights/resample) lead,
+    then the rows whose code or oracle changed this round
+    (embedding_quantize, pack_sequences, streaming_accounting — now
+    value-oracled, zero rows-only entries remain —
     proto_roundtrip/debug/ann_lsh via their changed operators); every
     past-window entry was driver-green in r4 or earlier AND is
     untouched since.
